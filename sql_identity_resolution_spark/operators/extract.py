@@ -1,0 +1,135 @@
+"""Stage 10/11: entity delta + identifier extraction + canonicalization + exclusion.
+
+Reference semantics: ``sql/common/10_build_entities_delta.sql``,
+``sql/common/11_build_identifiers_delta.sql``, exclusion NOT EXISTS at
+``sql/duckdb/core/idr_run.py:258-270``. Spark-first: each source is a parquet
+scan with the watermark predicate pushed down; identifier extraction is a
+column projection (``F.expr`` on the metadata expression) unioned across
+mappings; the rule gate and exclusion list are broadcast joins.
+"""
+
+from __future__ import annotations
+
+import functools
+from datetime import datetime, timedelta
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_identity_resolution_spark.config import EngineConfig, Rule
+from sql_identity_resolution_spark.functions.normalize import canonicalize
+
+
+def entity_key_col(table_id: str, key_expr: str) -> F.Column:
+    """entity_key = table_id || ':' || CAST(expr AS STRING)
+    (sql/common/10_build_entities_delta.sql:21)."""
+    return F.concat_ws(":", F.lit(table_id), F.expr(key_expr).cast("string"))
+
+
+def build_entities_delta(
+    spark: SparkSession,
+    cfg: EngineConfig,
+    run_id: str,
+    mode: str,
+    last_watermarks: dict[str, datetime | None],
+) -> DataFrame:
+    """One row per delta entity: (run_id, table_id, entity_key, watermark_value).
+
+    INCR filters ``wm >= last_watermark - lookback`` (idr_run.py:186-193) — a
+    plain pushed-down predicate; FULL scans everything. The filter is applied
+    BEFORE the projection so Catalyst pushes it into the parquet scan.
+    """
+    parts: list[DataFrame] = []
+    for st in cfg.sources:
+        if not st.is_active:
+            continue
+        df = st.load(spark)
+        if mode != "FULL":
+            last = last_watermarks.get(st.table_id)
+            if last is not None:
+                bound = last - timedelta(minutes=st.watermark_lookback_minutes or 0)
+                df = df.filter(F.col(st.watermark_column) >= F.lit(bound))
+        parts.append(
+            df.select(
+                F.lit(run_id).alias("run_id"),
+                F.lit(st.table_id).alias("table_id"),
+                entity_key_col(st.table_id, st.entity_key_expr).alias("entity_key"),
+                F.col(st.watermark_column).cast("timestamp").alias("watermark_value"),
+            )
+        )
+    if not parts:
+        raise ValueError("no active sources configured")
+    return functools.reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def extract_identifiers(
+    spark: SparkSession,
+    cfg: EngineConfig,
+    mode: str,
+    last_watermarks: dict[str, datetime | None],
+) -> DataFrame:
+    """identifiers_all: (table_id, entity_key, identifier_type,
+    identifier_value_norm, is_hashed) for ALL rows of every source
+    (idr_run.py:216-243 builds identifiers_all_raw over full tables — the
+    blocking join later needs existing members, not just the delta).
+
+    Canonicalization is rule-driven (LOWER/UPPER/DIGITS) and require_non_null
+    filters nulls — all JVM-side. ``explodes`` mappings (LSH band arrays)
+    posexplode into one row per band key.
+    """
+    rules_by_type: dict[str, Rule] = {r.identifier_type: r for r in cfg.active_rules()}
+    parts: list[DataFrame] = []
+    for st in cfg.sources:
+        if not st.is_active:
+            continue
+        src = st.load(spark)
+        maps = [m for m in cfg.mappings if m.table_id == st.table_id]
+        for m in maps:
+            rule = rules_by_type.get(m.identifier_type)
+            if rule is None:
+                continue  # preflight warns; reference drops unmatched mappings via the rule join
+            if m.is_hashed and not rule.allow_hashed:
+                continue
+            base = src.select(
+                F.lit(st.table_id).alias("table_id"),
+                entity_key_col(st.table_id, st.entity_key_expr).alias("entity_key"),
+                F.expr(m.identifier_value_expr).alias("_raw_value"),
+            )
+            if m.explodes:
+                base = base.select(
+                    "table_id",
+                    "entity_key",
+                    F.explode("_raw_value").alias("_raw_value"),
+                )
+            part = base.select(
+                "table_id",
+                "entity_key",
+                F.lit(m.identifier_type).alias("identifier_type"),
+                canonicalize(F.col("_raw_value").cast("string"), rule.canonicalize).alias(
+                    "identifier_value_norm"
+                ),
+                F.lit(m.is_hashed).alias("is_hashed"),
+            )
+            if rule.require_non_null:
+                part = part.filter(F.col("identifier_value_norm").isNotNull())
+            parts.append(part)
+    if not parts:
+        raise ValueError("no identifier mappings configured")
+    return functools.reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def apply_exclusions(spark: SparkSession, identifiers: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Drop identifier rows matching the exclusion list: EXACT equality or LIKE
+    pattern per identifier_type (idr_run.py:258-270 NOT EXISTS → left_anti join
+    against the broadcast exclusion list; LIKE evaluated in the join condition)."""
+    if not cfg.exclusions:
+        return identifiers
+    excl = spark.createDataFrame(
+        [(e.identifier_type, e.identifier_value_pattern, e.match_type.upper()) for e in cfg.exclusions],
+        "ex_type string, ex_pattern string, ex_match string",
+    )
+    cond = (F.col("identifier_type") == F.col("ex_type")) & (
+        ((F.col("ex_match") == "EXACT") & (F.col("identifier_value_norm") == F.col("ex_pattern")))
+        | ((F.col("ex_match") == "LIKE") & F.expr("identifier_value_norm LIKE ex_pattern"))
+    )
+    return identifiers.join(F.broadcast(excl), on=cond, how="left_anti")

@@ -1,0 +1,231 @@
+"""Stage 30/31: impacted subgraph + connected components.
+
+Two CC implementations:
+
+- ``hash_min_lp`` — the reference's algorithm verbatim at the logical level
+  (``sql/common/31_label_propagation_step.sql``): labels start as self, each
+  iteration takes MIN over self ∪ neighbor labels; converges in O(diameter)
+  rounds. The reference's anchor-star edges keep diameters tiny (observed 6
+  iterations at 10M rows, docs/performance/benchmark-results.md:35).
+
+- ``alternating_star`` — large-star/small-star (Kiveris et al., "Connected
+  Components in MapReduce and Beyond", SoCC'14): O(log² n) rounds regardless
+  of diameter; the scale path the north rule mandates for 10^12-turn graphs
+  where a single adversarial chain would stall hash-min.
+
+Both run as driver-controlled DataFrame loops with ``localCheckpoint()`` per
+iteration to truncate lineage (the reference's table-swap per iteration,
+idr_run.py:480-481, plays the same role), and pull exactly ONE scalar per
+iteration (the convergence delta) to the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CCResult:
+    labels: DataFrame  # (entity_key, label)
+    iterations: int
+    converged: bool
+
+
+def impacted_nodes(edges_new: DataFrame) -> DataFrame:
+    """Endpoints of this run's new edges (sql/common/30:4-8)."""
+    return (
+        edges_new.select(F.col("left_entity_key").alias("entity_key"))
+        .union(edges_new.select(F.col("right_entity_key").alias("entity_key")))
+        .distinct()
+    )
+
+
+def subgraph(
+    edges_current: DataFrame, impacted: DataFrame, membership_current: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(subgraph_nodes, subgraph_edges).
+
+    Reference takes impacted ∪ 1-hop neighbors (sql/common/30:10-20). We add a
+    strict-superset expansion: also every current member of any cluster that an
+    impacted node belongs to (via membership_current). The 1-hop form can leave
+    far members of a shrinking-min cluster with stale labels when a new edge
+    introduces a smaller key (>1-hop nodes never relabel); expanding to full
+    touched clusters makes incremental labels exactly equal to a full rerun's,
+    while still touching only impacted clusters. Reference test semantics are
+    preserved (superset ⇒ same components, docs/concepts/matching-algorithm.md:129-138).
+    """
+    hop1 = (
+        edges_current.join(
+            impacted.withColumnRenamed("entity_key", "ik"),
+            F.col("right_entity_key") == F.col("ik"),
+            "inner",
+        )
+        .select(F.col("left_entity_key").alias("entity_key"))
+        .union(
+            edges_current.join(
+                impacted.withColumnRenamed("entity_key", "ik"),
+                F.col("left_entity_key") == F.col("ik"),
+                "inner",
+            ).select(F.col("right_entity_key").alias("entity_key"))
+        )
+    )
+    nodes = impacted.union(hop1)
+    if membership_current is not None and "resolved_id" in membership_current.columns:
+        touched_clusters = (
+            membership_current.join(impacted, "entity_key", "left_semi")
+            .select("resolved_id")
+            .distinct()
+        )
+        cluster_members = membership_current.join(
+            touched_clusters, "resolved_id", "left_semi"
+        ).select("entity_key")
+        nodes = nodes.union(cluster_members)
+    nodes = nodes.distinct()
+    # edges with BOTH endpoints in nodes (sql/common/30:22-27) — two semi-joins
+    edges = (
+        edges_current.select("left_entity_key", "right_entity_key")
+        .join(nodes.withColumnRenamed("entity_key", "left_entity_key"), "left_entity_key", "left_semi")
+        .join(nodes.withColumnRenamed("entity_key", "right_entity_key"), "right_entity_key", "left_semi")
+    )
+    return nodes, edges
+
+
+def _undirected(edges: DataFrame) -> DataFrame:
+    """(l,r) ∪ (r,l) doubling (sql/common/31:11-15)."""
+    return edges.select(
+        F.col("left_entity_key").alias("src"), F.col("right_entity_key").alias("dst")
+    ).union(
+        edges.select(F.col("right_entity_key").alias("src"), F.col("left_entity_key").alias("dst"))
+    )
+
+
+def hash_min_lp(
+    nodes: DataFrame, edges: DataFrame, max_iters: int = 30, checkpoint_every: int = 1
+) -> CCResult:
+    """Min-label propagation to convergence (sql/common/31; idr_run.py:440-481).
+
+    labels ← nodes self-labeled; repeat: next = MIN(self ∪ neighbors' labels)
+    grouped by node; stop when Σ(cur≠next)=0. The undirected edge list is
+    checkpointed once up front (reused every iteration); labels checkpoint per
+    ``checkpoint_every`` to truncate lineage, exactly the reference's per-iter
+    table swap.
+    """
+    und = _undirected(edges).localCheckpoint(eager=True)
+    labels = nodes.select("entity_key", F.col("entity_key").alias("label")).localCheckpoint(eager=True)
+    iterations = 0
+    converged = False
+    for i in range(max_iters):
+        iterations = i + 1
+        neighbor_labels = (
+            und.join(labels.withColumnRenamed("entity_key", "dst"), "dst", "inner")
+            .select(F.col("src").alias("entity_key"), F.col("label"))
+        )
+        nxt = (
+            labels.select("entity_key", "label")
+            .union(neighbor_labels)
+            .groupBy("entity_key")
+            .agg(F.min("label").alias("label"))
+        )
+        if (i + 1) % max(1, checkpoint_every) == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        # one scalar to the driver per iteration (idr_run.py:468-477)
+        delta = (
+            labels.withColumnRenamed("label", "cur")
+            .join(nxt.withColumnRenamed("label", "nxt"), "entity_key")
+            .agg(F.sum(F.when(F.col("cur") != F.col("nxt"), 1).otherwise(0)).alias("d"))
+            .first()["d"]
+        )
+        labels = nxt
+        if not delta:
+            converged = True
+            break
+    return CCResult(labels=labels, iterations=iterations, converged=converged)
+
+
+def alternating_star(
+    nodes: DataFrame, edges: DataFrame, max_iters: int = 50, checkpoint_every: int = 1
+) -> CCResult:
+    """Large-star/small-star connected components (Kiveris et al. SoCC'14).
+
+    Maintains a parent forest as an edge list child→parent with parent<child
+    (string order — same total order MIN-label uses, so final labels equal the
+    component minimum, matching reference resolved_id semantics
+    sql/common/40:2). Each round:
+
+      large-star: for every node u, connect every strictly-larger neighbor v
+                  to min(N(u) ∪ {u});
+      small-star: connect every parent-or-smaller neighbor to the minimum.
+
+    Converges when the edge set reaches a fixed point (every node points at
+    its component min). O(log²) rounds; each round is groupBy-min + join —
+    shuffle-friendly and skew-handled by AQE.
+    """
+    def _canon(df: DataFrame, a: str, b: str) -> DataFrame:
+        return (
+            df.filter(F.col(a) != F.col(b))
+            .select(F.greatest(a, b).alias("u"), F.least(a, b).alias("v"))
+            .distinct()
+        )
+
+    def _nbrs(pairs_df: DataFrame) -> DataFrame:
+        return pairs_df.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
+            pairs_df.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+
+    def _with_min(nbrs: DataFrame) -> DataFrame:
+        # m(u) = min(Γ(u) ∪ {u}) — one groupBy-min, broadcastless equi-join back
+        mins = nbrs.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
+        return nbrs.join(mins, "src")
+
+    pairs = _canon(edges, "left_entity_key", "right_entity_key").localCheckpoint(eager=True)
+    iterations = 0
+    converged = False
+    for i in range(max_iters):
+        iterations = i + 1
+        # ---- large-star(u): emit (v, m(u)) for strictly larger neighbors v>u
+        lg = _with_min(_nbrs(pairs)).filter(F.col("dst") > F.col("src"))
+        large = _canon(lg.select(F.col("dst").alias("a"), F.col("m").alias("b")), "a", "b")
+        # ---- small-star(u): emit (v, m(u)) for neighbors v≤u, plus (u, m(u))
+        sm = _with_min(_nbrs(large))
+        small_edges = sm.filter(F.col("dst") < F.col("src")).select(
+            F.col("dst").alias("a"), F.col("m").alias("b")
+        )
+        self_edges = sm.select(F.col("src").alias("a"), F.col("m").alias("b")).distinct()
+        small = _canon(small_edges.union(self_edges), "a", "b")
+        if (i + 1) % max(1, checkpoint_every) == 0:
+            small = small.localCheckpoint(eager=True)
+        # fixed point: canonical edge sets equal (both are distinct sets)
+        changed = small.exceptAll(pairs).limit(1).count()
+        pairs_n, small_n = pairs.count(), small.count()
+        pairs = small
+        if changed == 0 and pairs_n == small_n:
+            converged = True
+            break
+    labels = (
+        nodes.join(
+            pairs.groupBy("u").agg(F.min("v").alias("label")).withColumnRenamed("u", "entity_key"),
+            "entity_key",
+            "left",
+        ).select("entity_key", F.coalesce("label", "entity_key").alias("label"))
+    )
+    return CCResult(labels=labels, iterations=iterations, converged=converged)
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    algorithm: str = "hash_min",
+    max_iters: int = 30,
+    checkpoint_every: int = 1,
+    edge_count_hint: int | None = None,
+    star_threshold: int = 5_000_000,
+) -> CCResult:
+    if algorithm == "auto":
+        n = edge_count_hint if edge_count_hint is not None else edges.count()
+        algorithm = "star" if n > star_threshold else "hash_min"
+    if algorithm == "star":
+        return alternating_star(nodes, edges, max_iters=max(max_iters, 50), checkpoint_every=checkpoint_every)
+    return hash_min_lp(nodes, edges, max_iters=max_iters, checkpoint_every=checkpoint_every)

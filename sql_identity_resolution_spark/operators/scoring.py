@@ -1,0 +1,97 @@
+"""Pairwise similarity scoring gate for SCORED (LSH/fuzzy) rules.
+
+The reference's rules are all EXACT (a shared normalized value IS the match);
+this module is the additive fuzzy layer BASELINE.json mandates: LSH band keys
+produce *candidate* blocks, candidate pairs are scored in batched pandas UDFs,
+and only pairs ≥ rule.threshold become edges. Exact rules never pass through
+here (score ≙ 1.0 by construction).
+
+Scale shape: pairs are deduped on (left,right) BEFORE fetching texts (a pair
+found by 6 bands is scored once); texts attach via two broadcast-or-shuffle
+equi-joins against the entity-text table; the UDF sees Arrow batches. Score
+histograms per block feed the per-partition lineage table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sql_identity_resolution_spark.functions.similarity import pair_scorer_udf
+
+
+def score_candidate_pairs(
+    pairs: DataFrame,
+    entity_texts: DataFrame,
+    text_col: str = "match_text",
+) -> DataFrame:
+    """pairs: (rule_id, threshold, scorer, identifier_type,
+    identifier_value_norm, left_entity_key, right_entity_key) — possibly with
+    duplicates across bands. Returns scored UNIQUE pairs with ``score``.
+
+    Dedup keeps the lowest band's block key (deterministic MIN) so edge
+    provenance is stable run-to-run.
+    """
+    uniq = pairs.groupBy("rule_id", "left_entity_key", "right_entity_key").agg(
+        F.min("identifier_type").alias("identifier_type"),
+        F.min("identifier_value_norm").alias("identifier_value_norm"),
+        F.first("threshold").alias("threshold"),
+        F.first("scorer").alias("scorer"),
+    )
+    lt = entity_texts.select(
+        F.col("entity_key").alias("left_entity_key"), F.col(text_col).alias("_lt")
+    )
+    rt = entity_texts.select(
+        F.col("entity_key").alias("right_entity_key"), F.col(text_col).alias("_rt")
+    )
+    withtext = uniq.join(lt, "left_entity_key", "inner").join(rt, "right_entity_key", "inner")
+
+    # one scorer invocation per distinct scorer name (usually 1)
+    scorers = [r["scorer"] for r in withtext.select("scorer").distinct().collect()]
+    parts = []
+    for name in scorers:
+        udf = pair_scorer_udf(name)
+        parts.append(
+            withtext.filter(F.col("scorer") == name).withColumn("score", udf(F.col("_lt"), F.col("_rt")))
+        )
+    if not parts:
+        return withtext.withColumn("score", F.lit(0.0)).drop("_lt", "_rt")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.drop("_lt", "_rt")
+
+
+def scored_edges(scored_pairs: DataFrame, run_ts) -> DataFrame:
+    """Pairs passing their rule threshold, shaped like edges_new
+    (sql/common/01_ddl_outputs.sql:5-13 edge schema + score column)."""
+    return scored_pairs.filter(F.col("score") >= F.col("threshold")).select(
+        "rule_id",
+        "left_entity_key",
+        "right_entity_key",
+        "identifier_type",
+        "identifier_value_norm",
+        F.lit(run_ts).cast("timestamp").alias("first_seen_ts"),
+        F.lit(run_ts).cast("timestamp").alias("last_seen_ts"),
+    )
+
+
+def score_histogram(scored_pairs: DataFrame, buckets: int = 10) -> DataFrame:
+    """Per block: pair count + bucketed score histogram — the lineage rows the
+    north rule requires (block id, pair count, score histogram)."""
+    b = (
+        scored_pairs.withColumn(
+            "bucket", F.least(F.lit(buckets - 1), F.floor(F.col("score") * buckets)).cast("int")
+        )
+        .groupBy("identifier_type", "identifier_value_norm", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        b.groupBy("identifier_type", "identifier_value_norm")
+        .agg(
+            F.sum("n").alias("pair_count"),
+            F.to_json(F.map_from_entries(F.sort_array(F.collect_list(F.struct("bucket", "n"))))).alias(
+                "score_histogram"
+            ),
+        )
+    )

@@ -1,0 +1,431 @@
+"""End-to-end pipeline orchestration: Configure → Extract → Match → Cluster.
+
+Faithful to the reference's stage order and control topology
+(``sql/duckdb/core/idr_run.py:180-820``; stage list in
+``docs/concepts/architecture.md:25-45``): the only data crossing to the driver
+are preflight metadata, stage row counts, and the LP convergence scalar.
+
+Durability & resume: all durable tables live in the snapshot-versioned Catalog
+(Iceberg ``MERGE INTO`` on real deployments). ``run_state`` (watermarks) only
+advances after every output MERGE commits — so a crashed run re-executes from
+the last committed snapshot boundary and every sink MERGE is idempotent
+(re-merging the same edges/membership is a no-op), which is exactly the
+reference's resume contract (S9, sql/common/60_update_run_state.sql).
+
+Dry-run (idr_run.py:38,502-552,705-746): the full pipeline runs, production
+MERGEs are skipped, and a NEW/MOVED/UNCHANGED diff is written to
+``dry_run_results``/``dry_run_summary``. Unlike the reference's DuckDB driver
+(which merges edges even when dry) we skip the edge MERGE too and cluster over
+the view ``edges_current ∪ edges_new`` — "no production writes" made literal.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_identity_resolution_spark.config import EngineConfig
+from sql_identity_resolution_spark.operators import blocking, confidence, extract, golden, graph, membership, scoring
+from sql_identity_resolution_spark.sources.catalog import Catalog
+
+# durable table names (≙ idr_out.* / idr_meta.run_state)
+T_EDGES = "identity_edges_current"
+T_MEMBERSHIP = "identity_resolved_membership_current"
+T_CLUSTERS = "identity_clusters_current"
+T_GOLDEN = "golden_profile_current"
+T_RUN_STATE = "run_state"
+T_RUN_HISTORY = "run_history"
+T_STAGE_METRICS = "stage_metrics"
+T_SKIPPED = "skipped_identifier_groups"
+T_AUDIT = "rule_match_audit_current"
+T_DRY_RESULTS = "dry_run_results"
+T_DRY_SUMMARY = "dry_run_summary"
+T_METRICS = "metrics_export"
+T_LINEAGE = "partition_lineage"
+
+_EDGE_SCHEMA = (
+    "rule_id string, left_entity_key string, right_entity_key string, "
+    "identifier_type string, identifier_value_norm string, "
+    "first_seen_ts timestamp, last_seen_ts timestamp"
+)
+_MEMBERSHIP_SCHEMA = "entity_key string, resolved_id string, updated_ts timestamp"
+_CLUSTERS_SCHEMA = (
+    "resolved_id string, cluster_size bigint, edge_diversity bigint, match_density double, "
+    "confidence_score double, primary_reason string, updated_ts timestamp"
+)
+_RUN_STATE_SCHEMA = (
+    "table_id string, last_watermark_value timestamp, last_run_id string, last_run_ts timestamp"
+)
+
+
+@dataclass
+class RunResult:
+    run_id: str
+    mode: str
+    dry_run: bool
+    entities_processed: int = 0
+    identifiers_extracted: int = 0
+    values_excluded: int = 0
+    groups_skipped: int = 0
+    edges_created: int = 0
+    candidate_pairs_scored: int = 0
+    clusters_impacted: int = 0
+    lp_iterations: int = 0
+    lp_converged: bool = True
+    duration_seconds: float = 0.0
+    stage_seconds: dict = field(default_factory=dict)
+    warnings: list = field(default_factory=list)
+    status: str = "SUCCESS"
+
+
+class IDRPipeline:
+    def __init__(self, spark: SparkSession, cfg: EngineConfig):
+        self.spark = spark
+        self.cfg = cfg
+        self.catalog = Catalog(spark, cfg.warehouse)
+
+    # ------------------------------------------------------------- preflight
+    def preflight(self) -> list[str]:
+        """Metadata validation (idr_run.py:126-171): every mapping needs an
+        active rule; SCORED rules need a match_text column on every source."""
+        warnings: list[str] = []
+        rule_types = {r.identifier_type for r in self.cfg.active_rules()}
+        map_types = {m.identifier_type for m in self.cfg.mappings}
+        for m in self.cfg.mappings:
+            if m.identifier_type not in rule_types:
+                warnings.append(f"mapping {m.table_id}/{m.identifier_type} has no active rule")
+        for t in rule_types - map_types:
+            warnings.append(f"rule type {t} has no identifier mapping")
+        if not self.cfg.sources:
+            raise ValueError("preflight: no sources configured")
+        if not self.cfg.active_rules():
+            raise ValueError("preflight: no active rules")
+        return warnings
+
+    def _entity_texts(self) -> DataFrame | None:
+        """(entity_key, match_text) for similarity scoring — sources exposing a
+        match_text column (the transcripts signature source always does)."""
+        parts = []
+        for st in self.cfg.sources:
+            if not st.is_active:
+                continue
+            df = st.load(self.spark)
+            if "match_text" in df.columns:
+                parts.append(
+                    df.select(
+                        extract.entity_key_col(st.table_id, st.entity_key_expr).alias("entity_key"),
+                        F.col("match_text"),
+                    )
+                )
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # ------------------------------------------------------------------- run
+    def run(self, mode: str = "FULL", dry_run: bool = False, run_id: str | None = None) -> RunResult:
+        spark, cfg, cat = self.spark, self.cfg, self.catalog
+        mode = mode.upper()
+        run_id = run_id or f"run_{datetime.now(timezone.utc).strftime('%Y%m%d%H%M%S')}_{uuid.uuid4().hex[:8]}"
+        run_ts = datetime.now(timezone.utc).replace(tzinfo=None)
+        res = RunResult(run_id=run_id, mode=mode, dry_run=dry_run)
+        t0 = time.time()
+        stage_rows: list[tuple] = []
+
+        def stage(name):
+            class _S:
+                def __enter__(s):
+                    s.t = time.time()
+                    return s
+
+                def __exit__(s, *a):
+                    res.stage_seconds[name] = round(time.time() - s.t, 3)
+
+                def rows(s, n):
+                    stage_rows.append((run_id, name, int(n), round(time.time() - s.t, 3), run_ts))
+
+            return _S()
+
+        res.warnings.extend(self.preflight())
+
+        # -------- watermarks (S2/S9)
+        run_state = cat.read(T_RUN_STATE, schema_str(_RUN_STATE_SCHEMA, spark))
+        last_wm = {r["table_id"]: r["last_watermark_value"] for r in run_state.collect()}
+
+        # -------- entities delta (stage 10)
+        with stage("entity_extraction") as s:
+            entities_delta = extract.build_entities_delta(spark, cfg, run_id, mode, last_wm)
+            entities_delta = entities_delta.localCheckpoint(eager=True)
+            res.entities_processed = entities_delta.count()
+            s.rows(res.entities_processed)
+
+        # -------- identifiers (stage 11) + exclusions
+        with stage("identifier_extraction") as s:
+            identifiers_all = extract.extract_identifiers(spark, cfg, mode, last_wm)
+            identifiers_filtered = extract.apply_exclusions(spark, identifiers_all, cfg)
+            identifiers_filtered = identifiers_filtered.localCheckpoint(eager=True)
+            res.identifiers_extracted = identifiers_filtered.count()
+            if cfg.exclusions:
+                res.values_excluded = identifiers_all.count() - res.identifiers_extracted
+                if res.values_excluded:
+                    res.warnings.append(
+                        f"{res.values_excluded} identifier values excluded (matched exclusion list)"
+                    )
+            s.rows(res.identifiers_extracted)
+
+        # -------- edges (stage 20)
+        with stage("edge_building") as s:
+            delta_values = blocking.delta_identifier_values(identifiers_filtered, entities_delta)
+            members = blocking.members_for_delta_values(
+                identifiers_filtered, delta_values, cfg.salt_buckets
+            )
+            sizes = blocking.group_sizes(members).localCheckpoint(eager=True)
+            valid, skipped = blocking.split_by_group_size(spark, cfg, sizes, run_id)
+            skipped = skipped.localCheckpoint(eager=True)
+            res.groups_skipped = skipped.count()
+            if res.groups_skipped:
+                res.warnings.append(
+                    f"{res.groups_skipped} identifier groups skipped (exceeded max_group_size)"
+                )
+            cat.append(T_SKIPPED, skipped)
+
+            edges_exact = blocking.anchor_edges(valid, members, run_ts)
+
+            scored_pairs = None
+            has_scored = any(r.match_strategy == "SCORED" for r in cfg.active_rules())
+            if has_scored:
+                texts = self._entity_texts()
+                if texts is None:
+                    raise ValueError("SCORED rules configured but no source exposes match_text")
+                pairs = blocking.candidate_pairs(valid, members)
+                scored_pairs = scoring.score_candidate_pairs(pairs, texts).localCheckpoint(eager=True)
+                res.candidate_pairs_scored = scored_pairs.count()
+                edges_new = edges_exact.unionByName(scoring.scored_edges(scored_pairs, run_ts))
+            else:
+                edges_new = edges_exact
+
+            edges_new = edges_new.localCheckpoint(eager=True)
+            res.edges_created = edges_new.count()
+            s.rows(res.edges_created)
+
+        # -------- merge edges (S5) / dry-run view
+        edge_keys = [
+            "rule_id", "left_entity_key", "right_entity_key", "identifier_type", "identifier_value_norm",
+        ]
+        edges_schema = schema_str(_EDGE_SCHEMA, spark)
+        if mode == "FULL" and not dry_run:
+            cat.overwrite(T_EDGES, edges_new)
+            edges_current = cat.read(T_EDGES)
+        elif dry_run:
+            prior = cat.read(T_EDGES, edges_schema)
+            if mode == "FULL":
+                edges_current = edges_new
+            else:
+                edges_current = prior.unionByName(edges_new).dropDuplicates(edge_keys)
+        else:
+            cat.merge_upsert(T_EDGES, edges_new, keys=edge_keys, update_cols=["last_seen_ts"])
+            edges_current = cat.read(T_EDGES)
+
+        # -------- subgraph + connected components (stages 30/31)
+        with stage("label_propagation") as s:
+            membership_current = cat.read(T_MEMBERSHIP, schema_str(_MEMBERSHIP_SCHEMA, spark))
+            if mode == "FULL":
+                # full rerun: every node, every edge (sql/common/90_full_rerun.sql)
+                nodes = (
+                    edges_current.select(F.col("left_entity_key").alias("entity_key"))
+                    .union(edges_current.select(F.col("right_entity_key").alias("entity_key")))
+                    .distinct()
+                )
+                sub_edges = edges_current
+            else:
+                impacted = graph.impacted_nodes(edges_new)
+                nodes, sub_edges = graph.subgraph(edges_current, impacted, membership_current)
+            cc = graph.connected_components(
+                nodes,
+                sub_edges,
+                algorithm=cfg.cc_algorithm,
+                max_iters=cfg.max_iters,
+                checkpoint_every=cfg.checkpoint_every,
+                edge_count_hint=res.edges_created,
+                star_threshold=cfg.cc_star_threshold_edges,
+            )
+            res.lp_iterations = cc.iterations
+            res.lp_converged = cc.converged
+            if not cc.converged:
+                res.warnings.append(f"label propagation did not converge in {cc.iterations} iterations")
+            labels = cc.labels.localCheckpoint(eager=True)
+            s.rows(labels.count())
+
+        # -------- membership + clusters (stages 40/41/42)
+        with stage("membership_update") as s:
+            updates = membership.membership_updates(labels, entities_delta, run_ts)
+            updates = updates.localCheckpoint(eager=True)
+            if not dry_run:
+                if mode == "FULL":
+                    cat.overwrite(T_MEMBERSHIP, updates)
+                else:
+                    cat.merge_upsert(T_MEMBERSHIP, updates, keys=["entity_key"])
+                membership_view = cat.read(T_MEMBERSHIP)
+            else:
+                membership_view = updates
+            impacted_ids = membership.impacted_resolved_ids(updates)
+            csizes = membership.cluster_sizes(membership_view, impacted_ids, run_ts)
+            estats = confidence.cluster_edge_stats(membership_view, edges_current, impacted_ids)
+            conf = confidence.cluster_confidence(csizes, estats, run_ts).localCheckpoint(eager=True)
+            res.clusters_impacted = conf.count()
+            if not dry_run:
+                if mode == "FULL":
+                    cat.overwrite(T_CLUSTERS, conf)
+                else:
+                    cat.delete_insert(T_CLUSTERS, conf, keys=["resolved_id"])
+            s.rows(res.clusters_impacted)
+
+        # -------- golden profile (stage 50)
+        with stage("golden_profile") as s:
+            if cfg.attributes:
+                entities_all = golden.build_entities_all(spark, cfg)
+                gold = golden.golden_updates(spark, cfg, entities_all, membership_view, impacted_ids, run_ts)
+                gold = gold.localCheckpoint(eager=True)
+                n_gold = gold.count()
+                if not dry_run:
+                    if mode == "FULL":
+                        cat.overwrite(T_GOLDEN, gold)
+                    else:
+                        cat.delete_insert(T_GOLDEN, gold, keys=["resolved_id"])
+                s.rows(n_gold)
+
+        # -------- audit + lineage + run_state (stages 60/70)
+        with stage("output_write") as s:
+            audit = (
+                edges_new.groupBy("rule_id")
+                .agg(F.count(F.lit(1)).alias("edges_created"))
+                .select(
+                    F.lit(run_id).alias("run_id"),
+                    "rule_id",
+                    "edges_created",
+                    F.lit(run_ts).cast("timestamp").alias("started_at"),
+                    F.current_timestamp().alias("ended_at"),
+                )
+            )
+            cat.append(T_AUDIT, audit)
+
+            # per-partition lineage: one row per block (block id, pair count,
+            # score histogram, cluster delta) — north-rule observability.
+            lineage = sizes.select(
+                F.lit(run_id).alias("run_id"),
+                F.sha2(F.concat_ws("§", "identifier_type", "identifier_value_norm"), 256).alias("block_id"),
+                "identifier_type",
+                F.col("group_size"),
+                (F.col("group_size") - F.lit(1)).alias("pair_count"),
+            )
+            if scored_pairs is not None:
+                hist = scoring.score_histogram(scored_pairs).select(
+                    F.sha2(F.concat_ws("§", "identifier_type", "identifier_value_norm"), 256).alias("block_id"),
+                    F.col("pair_count").alias("scored_pair_count"),
+                    "score_histogram",
+                )
+                lineage = lineage.join(hist, "block_id", "left")
+            else:
+                lineage = lineage.withColumn("scored_pair_count", F.lit(None).cast("long")).withColumn(
+                    "score_histogram", F.lit(None).cast("string")
+                )
+            lineage = lineage.withColumn("cluster_delta", F.lit(res.clusters_impacted))
+            cat.append(T_LINEAGE, lineage)
+
+            if not dry_run:
+                wm_updates = (
+                    entities_delta.groupBy("table_id")
+                    .agg(F.max("watermark_value").alias("last_watermark_value"))
+                    .select(
+                        "table_id",
+                        "last_watermark_value",
+                        F.lit(run_id).alias("last_run_id"),
+                        F.lit(run_ts).cast("timestamp").alias("last_run_ts"),
+                    )
+                )
+                cat.merge_upsert(T_RUN_STATE, wm_updates, keys=["table_id"])
+            s.rows(0)
+
+        # -------- dry-run diff (idr_run.py:705-746)
+        if dry_run:
+            with stage("dry_run_diff") as s:
+                prior_membership = cat.read(T_MEMBERSHIP, schema_str(_MEMBERSHIP_SCHEMA, spark))
+                prior_clusters = cat.read(T_CLUSTERS, schema_str(_CLUSTERS_SCHEMA, spark))
+                diff = membership.dry_run_diff(
+                    updates, prior_membership, prior_clusters, csizes, entities_delta, run_id
+                ).localCheckpoint(eager=True)
+                cat.append(T_DRY_RESULTS, diff)
+                counts = {r["change_type"]: r["n"] for r in diff.groupBy("change_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+                summary = spark.createDataFrame(
+                    [(
+                        run_id,
+                        sum(counts.values()),
+                        counts.get("NEW", 0),
+                        counts.get("MOVED", 0),
+                        counts.get("UNCHANGED", 0),
+                        res.edges_created,
+                        res.groups_skipped,
+                        res.values_excluded,
+                        float(round(time.time() - t0, 3)),
+                    )],
+                    "run_id string, total_entities bigint, new_entities bigint, moved_entities bigint, "
+                    "unchanged_entities bigint, edges_would_create bigint, groups_would_skip bigint, "
+                    "values_would_exclude bigint, execution_time_seconds double",
+                )
+                cat.append(T_DRY_SUMMARY, summary)
+                s.rows(sum(counts.values()))
+
+        # -------- finalize: run_history / stage_metrics / metrics_export
+        res.duration_seconds = round(time.time() - t0, 3)
+        res.status = (
+            "DRY_RUN_COMPLETE" if dry_run else ("SUCCESS_WITH_WARNINGS" if res.warnings else "SUCCESS")
+        )
+        history = spark.createDataFrame(
+            [(
+                run_id, mode, bool(dry_run), res.status, run_ts, res.duration_seconds,
+                res.entities_processed, res.edges_created, res.clusters_impacted,
+                res.lp_iterations, res.groups_skipped, res.values_excluded,
+                json.dumps(res.warnings) if res.warnings else None,
+            )],
+            "run_id string, run_mode string, dry_run boolean, status string, started_at timestamp, "
+            "duration_seconds double, entities_processed bigint, edges_created bigint, "
+            "clusters_impacted bigint, lp_iterations int, groups_skipped bigint, "
+            "values_excluded bigint, warnings string",
+        )
+        cat.append(T_RUN_HISTORY, history)
+        if stage_rows:
+            cat.append(
+                T_STAGE_METRICS,
+                spark.createDataFrame(
+                    stage_rows, "run_id string, stage string, rows bigint, seconds double, run_ts timestamp"
+                ),
+            )
+        metrics = [
+            (run_id, "idr_run_duration_seconds", float(res.duration_seconds), "gauge"),
+            (run_id, "idr_entities_processed", float(res.entities_processed), "gauge"),
+            (run_id, "idr_edges_created", float(res.edges_created), "counter"),
+            (run_id, "idr_clusters_impacted", float(res.clusters_impacted), "gauge"),
+            (run_id, "idr_lp_iterations", float(res.lp_iterations), "gauge"),
+            (run_id, "idr_groups_skipped", float(res.groups_skipped), "counter"),
+        ]
+        cat.append(
+            T_METRICS,
+            spark.createDataFrame(
+                metrics, "run_id string, metric_name string, metric_value double, metric_type string"
+            ).withColumn("exported_at", F.current_timestamp()),
+        )
+        return res
+
+
+def schema_str(s: str, spark: SparkSession):
+    from pyspark.sql.types import StructType
+
+    return StructType.fromDDL(s)

@@ -1,0 +1,67 @@
+"""SparkSession builder tuned for this engine.
+
+Mirrors the reference's recommended engine settings
+(``/root/reference/sql/databricks/optimize_tables.sql:94-106``: AQE on, shuffle
+partitions sized to the data, optimized writes) translated to OSS Spark, plus the
+settings this engine itself relies on (Arrow batches for pandas UDFs, UTC session
+timezone so results hash-compare against DuckDB oracles).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "sql_identity_resolution_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``) in the
+    sandbox; on a real cluster pass ``None`` master via spark-submit and these
+    settings become cluster-side defaults.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local mode: ~cores, not the 200 default (right-sized for tests);
+        # cluster mode: leave to AQE coalescing from a higher initial value.
+        n = os.cpu_count() or 8
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(min(64, n * 2))))
+
+    # make this package importable in executor python workers (pandas UDFs
+    # pickle references to it). On clusters, ship via spark-submit --py-files;
+    # locally/PYTHONPATH covers forked workers.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = pkg_root + (os.pathsep + existing if existing else "")
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # broadcast threshold: metadata tables (rules/exclusions/trust) are tiny and
+        # must broadcast; 64MB keeps dimension joins shuffle-free.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

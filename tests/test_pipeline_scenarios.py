@@ -1,0 +1,342 @@
+"""The reference's 12 CI scenarios (tests/run_tests_duckdb.py:604-1263,
+expected outcomes indexed in tests/README.md:7-12), re-expressed against the
+Spark-native pipeline. Fixture shape: (entity_id, email, phone, updated_at)
+per FIXTURES.md §3.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pandas as pd
+import pytest
+
+from sql_identity_resolution_spark.config import (
+    AttributeMapping,
+    EngineConfig,
+    Exclusion,
+    IdentifierMapping,
+    Rule,
+    SourceTable,
+)
+from sql_identity_resolution_spark.datagen import write_parquet
+from sql_identity_resolution_spark.plans.pipeline import IDRPipeline
+
+T = datetime(2026, 1, 1, 12, 0, 0)
+
+
+def make_cfg(tmp_path, rows, rules=None, exclusions=None, lookback_minutes=0, **kw):
+    src = tmp_path / "crm.parquet"
+    write_parquet(pd.DataFrame(rows), str(src))
+    return EngineConfig(
+        warehouse=str(tmp_path / "wh"),
+        sources=[
+            SourceTable(
+                "crm", "entity_id", "updated_at", path=str(src),
+                watermark_lookback_minutes=lookback_minutes,
+            )
+        ],
+        rules=rules
+        or [
+            Rule("R_EMAIL_EXACT", "EMAIL", "Email exact match", priority=1, canonicalize="LOWERCASE"),
+            Rule("R_PHONE_EXACT", "PHONE", "Phone exact match", priority=2),
+        ],
+        mappings=[
+            IdentifierMapping("crm", "EMAIL", "email"),
+            IdentifierMapping("crm", "PHONE", "phone"),
+        ],
+        exclusions=exclusions or [],
+        attributes=[
+            AttributeMapping("email_primary", "crm", "email"),
+            AttributeMapping("phone_primary", "crm", "phone"),
+        ],
+        **kw,
+    )
+
+
+def rows(entities):
+    return {
+        "entity_id": [e[0] for e in entities],
+        "email": [e[1] for e in entities],
+        "phone": [e[2] for e in entities],
+        "updated_at": [e[3] if len(e) > 3 else T for e in entities],
+    }
+
+
+def memberships(pipe):
+    return {
+        r["entity_key"]: r["resolved_id"]
+        for r in pipe.catalog.read("identity_resolved_membership_current").collect()
+    }
+
+
+def clusters_of(m):
+    out = {}
+    for k, v in m.items():
+        out.setdefault(v, set()).add(k)
+    return out
+
+
+# 1. same identifier ⇒ same cluster (run_tests_duckdb.py:604-651)
+def test_two_entities_same_email(spark, tmp_path):
+    cfg = make_cfg(tmp_path, rows([("A001", "shared@example.com", "111"), ("B001", "shared@example.com", "222")]))
+    pipe = IDRPipeline(spark, cfg)
+    res = pipe.run("FULL")
+    m = memberships(pipe)
+    assert m["crm:A001"] == m["crm:B001"] == "crm:A001"
+    assert res.edges_created == 1
+
+
+# 2. transitivity chain A–B(email), B–C(phone) ⇒ one cluster (:654-709)
+def test_chain_three_entities(spark, tmp_path):
+    cfg = make_cfg(
+        tmp_path,
+        rows([
+            ("A001", "a@x.com", "111"),
+            ("B001", "a@x.com", "222"),
+            ("C001", "c@x.com", "222"),
+        ]),
+    )
+    pipe = IDRPipeline(spark, cfg)
+    pipe.run("FULL")
+    m = memberships(pipe)
+    assert len({m["crm:A001"], m["crm:B001"], m["crm:C001"]}) == 1
+
+
+# 3. disjoint groups ⇒ separate clusters (:712-773)
+def test_disjoint_graphs(spark, tmp_path):
+    cfg = make_cfg(
+        tmp_path,
+        rows([
+            ("A1", "g1@x.com", "101"), ("A2", "g1@x.com", "102"),
+            ("B1", "g2@x.com", "201"), ("B2", "g2@x.com", "202"),
+        ]),
+    )
+    pipe = IDRPipeline(spark, cfg)
+    pipe.run("FULL")
+    cl = clusters_of(memberships(pipe))
+    assert len(cl) == 2
+    assert {frozenset(v) for v in cl.values()} == {
+        frozenset({"crm:A1", "crm:A2"}), frozenset({"crm:B1", "crm:B2"}),
+    }
+
+
+# 4. case-insensitive canonicalization ⇒ one cluster (:776-829)
+def test_case_insensitive_email(spark, tmp_path):
+    cfg = make_cfg(
+        tmp_path,
+        rows([
+            ("A", "JOHN.DOE@EXAMPLE.COM", "1"),
+            ("B", "john.doe@example.com", "2"),
+            ("C", "John.Doe@Example.com", "3"),
+        ]),
+    )
+    pipe = IDRPipeline(spark, cfg)
+    pipe.run("FULL")
+    assert len(clusters_of(memberships(pipe))) == 1
+    edges = pipe.catalog.read("identity_edges_current").collect()
+    assert all(e["identifier_value_norm"] == "john.doe@example.com" for e in edges)
+
+
+# 5. singleton ⇒ resolved_id = entity_key (:832-870)
+def test_singleton(spark, tmp_path):
+    cfg = make_cfg(tmp_path, rows([("S1", "only@x.com", "999")]))
+    pipe = IDRPipeline(spark, cfg)
+    pipe.run("FULL")
+    m = memberships(pipe)
+    assert m == {"crm:S1": "crm:S1"}
+
+
+# 6. group > max_group_size ⇒ 0 edges, all singletons, audited (:873-930)
+def test_max_group_size(spark, tmp_path):
+    ents = [(f"E{i}", None, None, T) for i in range(5)]
+    src_rows = rows(ents)
+    src_rows["loyalty_id"] = ["LOYAL1"] * 5
+    cfg = EngineConfig(
+        warehouse=str(tmp_path / "wh"),
+        sources=[SourceTable("crm", "entity_id", "updated_at", path=str(tmp_path / "crm.parquet"))],
+        rules=[Rule("R_LOYALTY", "LOYALTY_ID", max_group_size=2)],
+        mappings=[IdentifierMapping("crm", "LOYALTY_ID", "loyalty_id")],
+    )
+    write_parquet(pd.DataFrame(src_rows), str(tmp_path / "crm.parquet"))
+    pipe = IDRPipeline(spark, cfg)
+    res = pipe.run("FULL")
+    assert res.edges_created == 0
+    assert res.groups_skipped == 1
+    m = memberships(pipe)
+    assert all(k == v for k, v in m.items()) and len(m) == 5
+    skipped = pipe.catalog.read("skipped_identifier_groups").collect()
+    assert len(skipped) == 1
+    row = skipped[0]
+    assert row["identifier_type"] == "LOYALTY_ID"
+    assert row["group_size"] == 5 and row["max_allowed"] == 2
+    assert row["reason"] == "EXCEEDED_MAX_GROUP_SIZE"
+    assert row["sample_entity_keys"]  # audit sample populated
+
+
+# 7. exclusion list EXACT + LIKE (:933-993)
+def test_exclusion_list(spark, tmp_path):
+    cfg = make_cfg(
+        tmp_path,
+        rows([
+            ("A", "test@test.com", "1"),
+            ("B", "test@test.com", "2"),
+            ("C", "x@example.invalid", "3"),
+            ("D", "y@example.invalid", "4"),
+            ("E", "real@x.com", "5"),
+            ("F", "real@x.com", "6"),
+        ]),
+        exclusions=[
+            Exclusion("EMAIL", "test@test.com", "EXACT"),
+            Exclusion("EMAIL", "%@example.invalid", "LIKE"),
+        ],
+    )
+    pipe = IDRPipeline(spark, cfg)
+    res = pipe.run("FULL")
+    cl = clusters_of(memberships(pipe))
+    # only E-F merge; everyone else singleton
+    assert frozenset({"crm:E", "crm:F"}) in {frozenset(v) for v in cl.values()}
+    assert len(cl) == 5
+    assert res.values_excluded == 4
+    assert res.edges_created == 1
+
+
+# 8. skipped-groups audit row shape (:996-1032) — covered in test 6; here: top offenders query
+def test_skipped_groups_topk(spark, tmp_path):
+    src_rows = rows([(f"E{i}", None, None, T) for i in range(8)])
+    src_rows["loyalty_id"] = ["L1"] * 5 + ["L2"] * 3
+    write_parquet(pd.DataFrame(src_rows), str(tmp_path / "crm.parquet"))
+    cfg = EngineConfig(
+        warehouse=str(tmp_path / "wh"),
+        sources=[SourceTable("crm", "entity_id", "updated_at", path=str(tmp_path / "crm.parquet"))],
+        rules=[Rule("R_LOYALTY", "LOYALTY_ID", max_group_size=2)],
+        mappings=[IdentifierMapping("crm", "LOYALTY_ID", "loyalty_id")],
+    )
+    pipe = IDRPipeline(spark, cfg)
+    res = pipe.run("FULL")
+    assert res.groups_skipped == 2
+    top = (
+        pipe.catalog.read("skipped_identifier_groups")
+        .orderBy("group_size", ascending=False)
+        .limit(3)
+        .collect()
+    )
+    assert [r["group_size"] for r in top] == [5, 3]
+
+
+# 9. dry-run populates diff tables, no production writes (:1035-1120)
+def test_dry_run(spark, tmp_path):
+    cfg = make_cfg(tmp_path, rows([("A", "dup@x.com", "1"), ("B", "dup@x.com", "2")]))
+    pipe = IDRPipeline(spark, cfg)
+    res = pipe.run("FULL", dry_run=True)
+    assert res.status == "DRY_RUN_COMPLETE"
+    assert not pipe.catalog.exists("identity_resolved_membership_current")
+    assert not pipe.catalog.exists("identity_edges_current")
+    diff = pipe.catalog.read("dry_run_results").collect()
+    assert {r["change_type"] for r in diff} == {"NEW"}
+    assert len(diff) == 2
+    summary = pipe.catalog.read("dry_run_summary").collect()[0]
+    assert summary["new_entities"] == 2 and summary["edges_would_create"] == 1
+
+
+# 10. singleton confidence = 1.0, reason SINGLETON_NO_MATCH_REQUIRED (:1123-1161)
+def test_singleton_confidence(spark, tmp_path):
+    cfg = make_cfg(tmp_path, rows([("S1", "only@x.com", "1")]))
+    pipe = IDRPipeline(spark, cfg)
+    pipe.run("FULL")
+    c = pipe.catalog.read("identity_clusters_current").collect()[0]
+    assert c["confidence_score"] == 1.0
+    assert c["primary_reason"] == "SINGLETON_NO_MATCH_REQUIRED"
+
+
+# 11. two identifier types ⇒ edge_diversity=2, confidence > 0.7 (:1164-1213)
+def test_confidence_multi_identifier(spark, tmp_path):
+    cfg = make_cfg(tmp_path, rows([("A", "both@x.com", "777"), ("B", "both@x.com", "777")]))
+    pipe = IDRPipeline(spark, cfg)
+    pipe.run("FULL")
+    c = {r["resolved_id"]: r for r in pipe.catalog.read("identity_clusters_current").collect()}
+    row = c["crm:A"]
+    assert row["edge_diversity"] == 2
+    assert row["confidence_score"] > 0.7
+
+
+# 12. one identifier type ⇒ edge_diversity=1 (:1216-1263)
+def test_confidence_single_identifier(spark, tmp_path):
+    cfg = make_cfg(tmp_path, rows([("A", "one@x.com", "111"), ("B", "one@x.com", "222")]))
+    pipe = IDRPipeline(spark, cfg)
+    pipe.run("FULL")
+    c = {r["resolved_id"]: r for r in pipe.catalog.read("identity_clusters_current").collect()}
+    assert c["crm:A"]["edge_diversity"] == 1
+
+
+# 13. incremental watermark: run2 only reprocesses new rows and merges clusters
+def test_incremental_watermark(spark, tmp_path):
+    t1, t2 = datetime(2026, 1, 1), datetime(2026, 2, 1)
+    src = tmp_path / "crm.parquet"
+    write_parquet(
+        pd.DataFrame(rows([("A", "a@x.com", "111", t1), ("B", "b@x.com", "222", t1)])), str(src)
+    )
+    cfg = make_cfg(tmp_path, rows([("A", "a@x.com", "111", t1), ("B", "b@x.com", "222", t1)]))
+    pipe = IDRPipeline(spark, cfg)
+    pipe.run("FULL")
+    assert len(clusters_of(memberships(pipe))) == 2
+
+    # new row C bridges A and B (email of A, phone of B), later watermark
+    write_parquet(
+        pd.DataFrame(
+            rows([
+                ("A", "a@x.com", "111", t1),
+                ("B", "b@x.com", "222", t1),
+                ("C", "a@x.com", "222", t2),
+            ])
+        ),
+        str(src),
+    )
+    res2 = pipe.run("INCR")
+    # reference watermark filter is INCLUSIVE (wm >= last, idr_run.py:192):
+    # boundary rows A,B reprocess idempotently alongside the new row C
+    assert res2.entities_processed == 3
+    m = memberships(pipe)
+    assert len({m["crm:A"], m["crm:B"], m["crm:C"]}) == 1
+
+
+# 14. lookback window reprocesses late data
+def test_lookback_late_data(spark, tmp_path):
+    t1 = datetime(2026, 1, 1, 12, 0)
+    late = datetime(2026, 1, 1, 11, 30)  # before watermark but inside 60min lookback
+    src = tmp_path / "crm.parquet"
+    write_parquet(pd.DataFrame(rows([("A", "a@x.com", "1", t1)])), str(src))
+    cfg = make_cfg(tmp_path, rows([("A", "a@x.com", "1", t1)]), lookback_minutes=60)
+    pipe = IDRPipeline(spark, cfg)
+    pipe.run("FULL")
+    write_parquet(
+        pd.DataFrame(rows([("A", "a@x.com", "1", t1), ("L", "a@x.com", "9", late)])), str(src)
+    )
+    res = pipe.run("INCR")
+    assert res.entities_processed == 2  # A reprocessed (within lookback) + L
+    m = memberships(pipe)
+    assert m["crm:L"] == m["crm:A"]
+
+
+# 15. incremental merge relabels ALL members of touched clusters (superset fix)
+def test_incremental_full_cluster_relabel(spark, tmp_path):
+    t1, t2 = datetime(2026, 1, 1), datetime(2026, 2, 1)
+    src = tmp_path / "crm.parquet"
+    base = [
+        ("B", "b@x.com", "222", t1),
+        ("C", "b@x.com", "333", t1),  # B-C via email (anchor B)
+        ("D", "d@x.com", "333", t1),  # C-D via phone → cluster {B,C,D} min=B
+    ]
+    write_parquet(pd.DataFrame(rows(base)), str(src))
+    cfg = make_cfg(tmp_path, rows(base))
+    pipe = IDRPipeline(spark, cfg)
+    pipe.run("FULL")
+    m = memberships(pipe)
+    assert m["crm:D"] == "crm:B"
+    # A (smaller key) arrives linking to D only — 2 hops from B
+    write_parquet(pd.DataFrame(rows(base + [("A", "d@x.com", "999", t2)])), str(src))
+    pipe.run("INCR")
+    m = memberships(pipe)
+    assert (
+        m["crm:A"] == m["crm:B"] == m["crm:C"] == m["crm:D"] == "crm:A"
+    ), f"stale labels after merge: {m}"
