@@ -1,0 +1,675 @@
+"""Operator-inventory queries over the driver's TPC-H-ish testdata, each paired
+with an ANSI-SQL oracle DuckDB can run on the same parquet views.
+
+These exercise every operator class from SURVEY.md §2 (scan/filter, projection,
+canonicalization, exclusion anti-join, blocking join, group sizes + skew guard,
+anchor election, star edges, label propagation / connected components, cluster
+sizes, confidence formula, survivorship windows, dry-run diff, set ops, top-k,
+monitoring rollups) re-pointed at the `customer`/`orders`/`events` tables:
+a synthetic identity graph is derived from customer keys (`MOD500`, `MOD701`
+identifier types — two overlapping groupings create multi-hop components), so
+the *same engine operators* used by the transcripts pipeline run against data
+DuckDB can verify exactly.
+
+Every aggregate/computed column is aliased identically in the Spark plan and
+the SQL oracle (driver hash-compares by sorted column name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sql_identity_resolution_spark.operators import confidence as conf_ops
+from sql_identity_resolution_spark.operators.graph import alternating_star
+
+# ---------------------------------------------------------------- shared CTEs
+
+_IDS_SQL = """
+    SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS entity_key,
+           'MOD500' AS identifier_type,
+           CAST(c_custkey % 500 AS VARCHAR) AS identifier_value_norm
+    FROM customer
+    UNION ALL
+    SELECT 'cust:' || CAST(c_custkey AS VARCHAR),
+           'MOD701',
+           CAST(c_custkey % 701 AS VARCHAR)
+    FROM customer
+"""
+
+_EDGES_SQL = f"""
+    WITH ids AS ({_IDS_SQL}),
+    grp AS (
+      SELECT identifier_type, identifier_value_norm,
+             MIN(entity_key) AS anchor_entity_key, COUNT(*) AS group_size
+      FROM ids GROUP BY identifier_type, identifier_value_norm
+    )
+    SELECT g.identifier_type, g.identifier_value_norm,
+           g.anchor_entity_key AS left_entity_key,
+           i.entity_key AS right_entity_key
+    FROM grp g
+    JOIN ids i ON i.identifier_type = g.identifier_type
+              AND i.identifier_value_norm = g.identifier_value_norm
+    WHERE i.entity_key <> g.anchor_entity_key AND g.group_size <= 100
+"""
+
+
+def _customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _identifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _IDS_SQL (P1 entity-key projection + P2 extraction + U1)."""
+    c = _customer(spark, sf_dir)
+    key = F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")).alias("entity_key")
+    a = c.select(key, F.lit("MOD500").alias("identifier_type"),
+                 (F.col("c_custkey") % 500).cast("string").alias("identifier_value_norm"))
+    b = c.select(key, F.lit("MOD701").alias("identifier_type"),
+                 (F.col("c_custkey") % 701).cast("string").alias("identifier_value_norm"))
+    return a.unionByName(b)
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _EDGES_SQL: anchor election (A3) + star edge join (J3)."""
+    ids = _identifiers(spark, sf_dir)
+    grp = ids.groupBy("identifier_type", "identifier_value_norm").agg(
+        F.min("entity_key").alias("anchor_entity_key"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return (
+        grp.filter(F.col("group_size") <= 100)
+        .join(ids, ["identifier_type", "identifier_value_norm"], "inner")
+        .filter(F.col("entity_key") != F.col("anchor_entity_key"))
+        .select(
+            "identifier_type",
+            "identifier_value_norm",
+            F.col("anchor_entity_key").alias("left_entity_key"),
+            F.col("entity_key").alias("right_entity_key"),
+        )
+    )
+
+
+def _membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mod500 "clusters" used by the confidence/survivorship/diff oracles."""
+    return _customer(spark, sf_dir).select(
+        F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")).alias("entity_key"),
+        F.concat(F.lit("m"), (F.col("c_custkey") % 500).cast("string")).alias("resolved_id"),
+    )
+
+
+_MEMBERSHIP_SQL = """
+    SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS entity_key,
+           'm' || CAST(c_custkey % 500 AS VARCHAR) AS resolved_id
+    FROM customer
+"""
+
+# ------------------------------------------------------------------- queries
+
+
+def q_watermark_delta_scan(spark, sf_dir):
+    """S2: watermark-bounded delta scan — pushed-down ts predicate on events."""
+    return (
+        _events(spark, sf_dir)
+        .filter(F.col("ts") >= F.lit("2024-01-20 00:00:00").cast("timestamp"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+    )
+
+
+def q_entity_key_projection(spark, sf_dir):
+    """P1: namespaced composite entity key (table_id:key)."""
+    return _customer(spark, sf_dir).select(
+        F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")).alias("entity_key"),
+        F.lower(F.col("c_name")).alias("name_norm"),
+    )
+
+
+def q_identifier_extraction(spark, sf_dir):
+    """P2+P3+U1: per-type extraction with canonicalization, unioned."""
+    return _identifiers(spark, sf_dir)
+
+
+def q_exclusion_anti_join(spark, sf_dir):
+    """P6: exclusion list anti-join, EXACT + LIKE patterns."""
+    c = _customer(spark, sf_dir)
+    ids = c.select(
+        F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")).alias("entity_key"),
+        F.lit("SEG").alias("identifier_type"),
+        F.col("c_mktsegment").alias("identifier_value_norm"),
+    )
+    excl = spark.createDataFrame(
+        [("SEG", "BUILDING", "EXACT"), ("SEG", "FURN%", "LIKE")],
+        "ex_type string, ex_pattern string, ex_match string",
+    )
+    cond = (F.col("identifier_type") == F.col("ex_type")) & (
+        ((F.col("ex_match") == "EXACT") & (F.col("identifier_value_norm") == F.col("ex_pattern")))
+        | ((F.col("ex_match") == "LIKE") & F.expr("identifier_value_norm LIKE ex_pattern"))
+    )
+    return (
+        ids.join(F.broadcast(excl), cond, "left_anti")
+        .groupBy("identifier_value_norm")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_group_sizes(spark, sf_dir):
+    """A2+O2: block-key group sizes with MIN anchor + ordered sample keys."""
+    ids = _identifiers(spark, sf_dir)
+    return ids.groupBy("identifier_type", "identifier_value_norm").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.min("entity_key").alias("anchor_entity_key"),
+        F.concat_ws(",", F.slice(F.sort_array(F.collect_list("entity_key")), 1, 5)).alias("sample_keys"),
+    )
+
+
+def q_skipped_groups_topk(spark, sf_dir):
+    """J14+O1: max_group_size guard + top-3 offenders (reference prints top 3)."""
+    ids = _identifiers(spark, sf_dir)
+    sizes = ids.groupBy("identifier_type", "identifier_value_norm").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return (
+        sizes.filter(F.col("group_size") > 2)
+        .orderBy(F.desc("group_size"), F.asc("identifier_type"), F.asc("identifier_value_norm"))
+        .limit(3)
+    )
+
+
+def q_anchor_edges(spark, sf_dir):
+    """A3+J3: anchor (star) edge generation — N−1 edges per group."""
+    return _edges(spark, sf_dir)
+
+
+def q_connected_components(spark, sf_dir):
+    """§2.9 THE graph operator: connected components over the derived identity
+    graph (all customers as nodes, incl. singletons). The ±500/±701 stepping
+    makes ONE giant component of diameter ~hundreds — hash-min LP (O(diameter)
+    rounds) would need >500 iterations, so this runs the engine's scale path:
+    large-star/small-star (Kiveris et al.), O(log²) rounds.
+    Oracle: recursive-CTE reachability + MIN label in DuckDB."""
+    edges = _edges(spark, sf_dir)
+    nodes = _customer(spark, sf_dir).select(
+        F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")).alias("entity_key")
+    )
+    cc = alternating_star(nodes, edges, max_iters=60)
+    assert cc.converged, f"star CC did not converge in {cc.iterations} rounds"
+    return cc.labels.select("entity_key", F.col("label").alias("resolved_id"))
+
+
+def q_cluster_sizes(spark, sf_dir):
+    """A6: COUNT(*) per resolved_id over the CC membership."""
+    edges = _edges(spark, sf_dir)
+    nodes = _customer(spark, sf_dir).select(
+        F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")).alias("entity_key")
+    )
+    labels = alternating_star(nodes, edges, max_iters=60).labels
+    return labels.groupBy(F.col("label").alias("resolved_id")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+
+
+def q_cluster_confidence(spark, sf_dir):
+    """A7+A8+J8: the 50/35/15 confidence formula with the OR-join rewritten as
+    a union of two equi-joins — uses the engine's own confidence operators."""
+    membership = _membership(spark, sf_dir)
+    edges = _edges(spark, sf_dir).withColumn("first_seen_ts", F.lit(None).cast("timestamp"))
+    impacted = membership.select("resolved_id").distinct()
+    sizes = membership.groupBy("resolved_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    estats = conf_ops.cluster_edge_stats(membership, edges, impacted)
+    out = conf_ops.cluster_confidence(sizes, estats, "2026-01-01 00:00:00")
+    return out.select(
+        "resolved_id",
+        "cluster_size",
+        "edge_diversity",
+        F.round("match_density", 3).alias("match_density"),
+        "confidence_score",
+        "primary_reason",
+    )
+
+
+def q_lp_single_step(spark, sf_dir):
+    """J6+A4+U3: exactly one LP step (undirected doubling ∪ self, group-min)."""
+    edges = _edges(spark, sf_dir)
+    und = edges.select(F.col("left_entity_key").alias("src"), F.col("right_entity_key").alias("dst")).union(
+        edges.select(F.col("right_entity_key").alias("src"), F.col("left_entity_key").alias("dst"))
+    )
+    nodes = _customer(spark, sf_dir).select(
+        F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")).alias("entity_key")
+    )
+    labels = nodes.select("entity_key", F.col("entity_key").alias("label"))
+    neighbor = und.join(
+        labels.withColumnRenamed("entity_key", "dst"), "dst", "inner"
+    ).select(F.col("src").alias("entity_key"), "label")
+    return (
+        labels.select("entity_key", "label")
+        .union(neighbor)
+        .groupBy("entity_key")
+        .agg(F.min("label").alias("label"))
+    )
+
+
+def q_impacted_subgraph(spark, sf_dir):
+    """J4+J5+U2: impacted nodes (endpoints of "new" edges) + 1-hop expansion
+    over current edges, then edges with both endpoints inside."""
+    edges = _edges(spark, sf_dir)
+    new_edges = edges.filter(
+        (F.col("identifier_type") == "MOD701")
+        & (F.col("identifier_value_norm").cast("int") % 10 == 0)
+    )
+    current = edges.filter(F.col("identifier_type") == "MOD500")
+    impacted = (
+        new_edges.select(F.col("left_entity_key").alias("entity_key"))
+        .union(new_edges.select(F.col("right_entity_key").alias("entity_key")))
+        .distinct()
+    )
+    hop = (
+        current.join(impacted.withColumnRenamed("entity_key", "right_entity_key"), "right_entity_key", "left_semi")
+        .select(F.col("left_entity_key").alias("entity_key"))
+        .union(
+            current.join(
+                impacted.withColumnRenamed("entity_key", "left_entity_key"), "left_entity_key", "left_semi"
+            ).select(F.col("right_entity_key").alias("entity_key"))
+        )
+    )
+    nodes = impacted.union(hop).distinct()
+    sub_edges = (
+        current.join(nodes.withColumnRenamed("entity_key", "left_entity_key"), "left_entity_key", "left_semi")
+        .join(nodes.withColumnRenamed("entity_key", "right_entity_key"), "right_entity_key", "left_semi")
+    )
+    return sub_edges.select("left_entity_key", "right_entity_key")
+
+
+def q_survivorship_golden(spark, sf_dir):
+    """W1+W2+J11: rank-1 survivorship — most recent order per mod500 cluster
+    (row_number over recency DESC with deterministic tie-breakers)."""
+    c = _customer(spark, sf_dir)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    joined = o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        F.concat(F.lit("m"), (F.col("c_custkey") % 500).cast("string")).alias("resolved_id"),
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderdate",
+    )
+    w = Window.partitionBy("resolved_id").orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "resolved_id",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.col("o_orderpriority").alias("latest_priority"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_orderdate"),
+        )
+    )
+
+
+def q_dry_run_diff(spark, sf_dir):
+    """J12: FULL OUTER membership diff → NEW/MOVED/UNCHANGED counts."""
+    c = _customer(spark, sf_dir)
+    proposed = c.select(
+        F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")).alias("p_key"),
+        F.concat(F.lit("m"), (F.col("c_custkey") % 500).cast("string")).alias("proposed_resolved_id"),
+    )
+    current = (
+        c.filter(F.col("c_custkey") < 1200)
+        .select(
+            F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")).alias("c_key"),
+            F.concat(F.lit("m"), (F.col("c_custkey") % 499).cast("string")).alias("current_resolved_id"),
+        )
+    )
+    diff = proposed.join(current, proposed.p_key == current.c_key, "full_outer").select(
+        F.when(F.col("c_key").isNull(), "NEW")
+        .when(F.col("current_resolved_id") == F.col("proposed_resolved_id"), "UNCHANGED")
+        .otherwise("MOVED")
+        .alias("change_type")
+    )
+    return diff.groupBy("change_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_singleton_fallback(spark, sf_dir):
+    """J13+U4: entities not present in any edge → resolved to themselves,
+    unioned with edge-bearing nodes labeled by their anchor side."""
+    edges = _edges(spark, sf_dir)
+    c = _customer(spark, sf_dir).select(
+        F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")).alias("entity_key")
+    )
+    edge_nodes = (
+        edges.select(F.col("left_entity_key").alias("entity_key"))
+        .union(edges.select(F.col("right_entity_key").alias("entity_key")))
+        .distinct()
+    )
+    singles = c.join(edge_nodes, "entity_key", "left_anti")
+    return singles.select("entity_key", F.col("entity_key").alias("resolved_id"))
+
+
+def q_watermark_advance(spark, sf_dir):
+    """A9: MAX(watermark) per group (run_state advance)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts_s"))
+    )
+
+
+def q_monitoring_rollup(spark, sf_dir):
+    """A11: size-bucket CASE rollup with post-agg HAVING (monitoring_views.sql:23-59)."""
+    ids = _identifiers(spark, sf_dir)
+    sizes = ids.groupBy("identifier_type", "identifier_value_norm").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    bucket = (
+        F.when(F.col("group_size") == 1, "singleton")
+        .when(F.col("group_size") == 2, "pair")
+        .when(F.col("group_size") <= 5, "small")
+        .when(F.col("group_size") <= 15, "medium")
+        .otherwise("large")
+    )
+    return (
+        sizes.groupBy(bucket.alias("size_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.min("group_size").alias("min_size"),
+            F.max("group_size").alias("max_size"),
+            F.round(F.avg("group_size"), 3).alias("avg_size"),
+        )
+        .filter(F.col("n_groups") > 1)
+    )
+
+
+def q_topk_heavy_identifiers(spark, sf_dir):
+    """O4: top-20 heaviest identifier values (scale_considerations.md:188-194)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("entity_count"))
+        .orderBy(F.desc("entity_count"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+def q_rule_match_audit(spark, sf_dir):
+    """A10: edges created per rule (identifier_type ≙ rule here)."""
+    return _edges(spark, sf_dir).groupBy("identifier_type").agg(
+        F.count(F.lit(1)).alias("edges_created")
+    )
+
+
+# ------------------------------------------------------------------- oracles
+
+ORACLES: dict[str, str] = {
+    "watermark_delta_scan": """
+        SELECT event_id, user_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+        FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+    """,
+    "entity_key_projection": """
+        SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS entity_key,
+               LOWER(c_name) AS name_norm
+        FROM customer
+    """,
+    "identifier_extraction": _IDS_SQL,
+    "exclusion_anti_join": """
+        WITH ids AS (
+          SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS entity_key,
+                 'SEG' AS identifier_type, c_mktsegment AS identifier_value_norm
+          FROM customer
+        ),
+        excl(ex_type, ex_pattern, ex_match) AS (
+          VALUES ('SEG','BUILDING','EXACT'), ('SEG','FURN%','LIKE')
+        )
+        SELECT identifier_value_norm, COUNT(*) AS n
+        FROM ids i
+        WHERE NOT EXISTS (
+          SELECT 1 FROM excl e
+          WHERE e.ex_type = i.identifier_type
+            AND ((e.ex_match = 'EXACT' AND i.identifier_value_norm = e.ex_pattern)
+              OR (e.ex_match = 'LIKE' AND i.identifier_value_norm LIKE e.ex_pattern))
+        )
+        GROUP BY identifier_value_norm
+    """,
+    "group_sizes": f"""
+        WITH ids AS ({_IDS_SQL})
+        SELECT identifier_type, identifier_value_norm,
+               COUNT(*) AS group_size,
+               MIN(entity_key) AS anchor_entity_key,
+               array_to_string(list_slice(list_sort(LIST(entity_key)), 1, 5), ',') AS sample_keys
+        FROM ids GROUP BY identifier_type, identifier_value_norm
+    """,
+    "skipped_groups_topk": f"""
+        WITH ids AS ({_IDS_SQL}),
+        sizes AS (
+          SELECT identifier_type, identifier_value_norm, COUNT(*) AS group_size
+          FROM ids GROUP BY identifier_type, identifier_value_norm
+        )
+        SELECT identifier_type, identifier_value_norm, group_size
+        FROM sizes WHERE group_size > 2
+        ORDER BY group_size DESC, identifier_type ASC, identifier_value_norm ASC
+        LIMIT 3
+    """,
+    "anchor_edges": _EDGES_SQL,
+    "connected_components": f"""
+        WITH RECURSIVE
+        edges AS ({_EDGES_SQL}),
+        nodes AS (SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS entity_key FROM customer),
+        und AS (
+          SELECT left_entity_key AS s, right_entity_key AS d FROM edges
+          UNION ALL
+          SELECT right_entity_key, left_entity_key FROM edges
+        ),
+        reach(node, lbl) AS (
+          SELECT entity_key, entity_key FROM nodes
+          UNION
+          SELECT u.d, r.lbl FROM reach r JOIN und u ON u.s = r.node
+        )
+        SELECT node AS entity_key, MIN(lbl) AS resolved_id
+        FROM reach GROUP BY node
+    """,
+    "cluster_sizes": f"""
+        WITH RECURSIVE
+        edges AS ({_EDGES_SQL}),
+        nodes AS (SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS entity_key FROM customer),
+        und AS (
+          SELECT left_entity_key AS s, right_entity_key AS d FROM edges
+          UNION ALL
+          SELECT right_entity_key, left_entity_key FROM edges
+        ),
+        reach(node, lbl) AS (
+          SELECT entity_key, entity_key FROM nodes
+          UNION
+          SELECT u.d, r.lbl FROM reach r JOIN und u ON u.s = r.node
+        ),
+        labels AS (SELECT node, MIN(lbl) AS resolved_id FROM reach GROUP BY node)
+        SELECT resolved_id, COUNT(*) AS cluster_size FROM labels GROUP BY resolved_id
+    """,
+    "cluster_confidence": f"""
+        WITH mem AS ({_MEMBERSHIP_SQL}),
+        edges AS ({_EDGES_SQL}),
+        stats AS (
+          SELECT m.resolved_id,
+                 COUNT(DISTINCT e.identifier_type) AS edge_diversity,
+                 COUNT(*) AS edge_count
+          FROM mem m
+          JOIN edges e ON e.left_entity_key = m.entity_key OR e.right_entity_key = m.entity_key
+          GROUP BY m.resolved_id
+        ),
+        sizes AS (SELECT resolved_id, COUNT(*) AS cluster_size FROM mem GROUP BY resolved_id),
+        density AS (
+          SELECT s.resolved_id, s.cluster_size,
+                 COALESCE(st.edge_diversity, 0) AS edge_diversity,
+                 COALESCE(st.edge_count, 0) AS edge_count,
+                 CASE WHEN s.cluster_size <= 1 THEN 1.0
+                      ELSE LEAST(1.0, CAST(COALESCE(st.edge_count,0) AS DOUBLE)
+                                      / (CAST(s.cluster_size AS DOUBLE) - 1)) END AS match_density
+          FROM sizes s LEFT JOIN stats st ON st.resolved_id = s.resolved_id
+        ),
+        md AS (SELECT GREATEST(1, MAX(edge_diversity)) AS max_div FROM density)
+        SELECT d.resolved_id, d.cluster_size, d.edge_diversity,
+               ROUND(d.match_density, 3) AS match_density,
+               CASE WHEN d.cluster_size = 1 THEN 1.0
+                    ELSE ROUND(0.50 * (CAST(d.edge_diversity AS DOUBLE) / md.max_div)
+                             + 0.35 * d.match_density + 0.15, 3) END AS confidence_score,
+               CASE WHEN d.cluster_size = 1 THEN 'SINGLETON_NO_MATCH_REQUIRED'
+                    WHEN d.edge_diversity >= 3 AND d.match_density >= 0.8
+                         THEN CAST(d.edge_diversity AS VARCHAR) || ' identifier types, high density'
+                    WHEN d.edge_diversity >= 2 AND d.match_density >= 0.5
+                         THEN CAST(d.edge_diversity AS VARCHAR) || ' identifier types, moderate density'
+                    WHEN d.edge_diversity = 1 AND d.match_density >= 0.8
+                         THEN 'Single identifier type, high density'
+                    WHEN d.edge_diversity = 1 AND d.match_density < 0.5
+                         THEN 'Single identifier type, chain pattern'
+                    ELSE CAST(d.edge_diversity AS VARCHAR) || ' identifier type(s), ' ||
+                         CASE WHEN d.match_density >= 0.5 THEN 'moderate' ELSE 'low' END || ' density'
+               END AS primary_reason
+        FROM density d CROSS JOIN md
+    """,
+    "lp_single_step": f"""
+        WITH edges AS ({_EDGES_SQL}),
+        nodes AS (SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS entity_key FROM customer),
+        und AS (
+          SELECT left_entity_key AS src, right_entity_key AS dst FROM edges
+          UNION ALL
+          SELECT right_entity_key, left_entity_key FROM edges
+        ),
+        labels AS (SELECT entity_key, entity_key AS label FROM nodes),
+        cand AS (
+          SELECT entity_key, label FROM labels
+          UNION ALL
+          SELECT u.src AS entity_key, l.label
+          FROM und u JOIN labels l ON l.entity_key = u.dst
+        )
+        SELECT entity_key, MIN(label) AS label FROM cand GROUP BY entity_key
+    """,
+    "impacted_subgraph": f"""
+        WITH edges AS ({_EDGES_SQL}),
+        new_edges AS (
+          SELECT * FROM edges
+          WHERE identifier_type = 'MOD701' AND CAST(identifier_value_norm AS INT) % 10 = 0
+        ),
+        current AS (SELECT * FROM edges WHERE identifier_type = 'MOD500'),
+        impacted AS (
+          SELECT left_entity_key AS entity_key FROM new_edges
+          UNION
+          SELECT right_entity_key FROM new_edges
+        ),
+        nodes AS (
+          SELECT entity_key FROM impacted
+          UNION
+          SELECT c.left_entity_key FROM current c JOIN impacted i ON i.entity_key = c.right_entity_key
+          UNION
+          SELECT c.right_entity_key FROM current c JOIN impacted i ON i.entity_key = c.left_entity_key
+        )
+        SELECT c.left_entity_key, c.right_entity_key
+        FROM current c
+        WHERE EXISTS (SELECT 1 FROM nodes a WHERE a.entity_key = c.left_entity_key)
+          AND EXISTS (SELECT 1 FROM nodes b WHERE b.entity_key = c.right_entity_key)
+    """,
+    "survivorship_golden": """
+        WITH joined AS (
+          SELECT 'm' || CAST(c.c_custkey % 500 AS VARCHAR) AS resolved_id,
+                 o.o_orderkey, o.o_orderpriority, o.o_orderdate,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY 'm' || CAST(c.c_custkey % 500 AS VARCHAR)
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey ASC
+                 ) AS rn
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        )
+        SELECT resolved_id,
+               o_orderkey AS latest_orderkey,
+               o_orderpriority AS latest_priority,
+               strftime(o_orderdate, '%Y-%m-%d') AS latest_orderdate
+        FROM joined WHERE rn = 1
+    """,
+    "dry_run_diff": """
+        WITH proposed AS (
+          SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS p_key,
+                 'm' || CAST(c_custkey % 500 AS VARCHAR) AS proposed_resolved_id
+          FROM customer
+        ),
+        current AS (
+          SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS c_key,
+                 'm' || CAST(c_custkey % 499 AS VARCHAR) AS current_resolved_id
+          FROM customer WHERE c_custkey < 1200
+        )
+        SELECT CASE WHEN c_key IS NULL THEN 'NEW'
+                    WHEN current_resolved_id = proposed_resolved_id THEN 'UNCHANGED'
+                    ELSE 'MOVED' END AS change_type,
+               COUNT(*) AS n
+        FROM proposed FULL OUTER JOIN current ON p_key = c_key
+        GROUP BY 1
+    """,
+    "singleton_fallback": f"""
+        WITH edges AS ({_EDGES_SQL}),
+        c AS (SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS entity_key FROM customer),
+        edge_nodes AS (
+          SELECT left_entity_key AS entity_key FROM edges
+          UNION
+          SELECT right_entity_key FROM edges
+        )
+        SELECT entity_key, entity_key AS resolved_id
+        FROM c WHERE entity_key NOT IN (SELECT entity_key FROM edge_nodes)
+    """,
+    "watermark_advance": """
+        SELECT event_type, strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts_s
+        FROM events GROUP BY event_type
+    """,
+    "monitoring_rollup": f"""
+        WITH ids AS ({_IDS_SQL}),
+        sizes AS (
+          SELECT identifier_type, identifier_value_norm, COUNT(*) AS group_size
+          FROM ids GROUP BY identifier_type, identifier_value_norm
+        )
+        SELECT CASE WHEN group_size = 1 THEN 'singleton'
+                    WHEN group_size = 2 THEN 'pair'
+                    WHEN group_size <= 5 THEN 'small'
+                    WHEN group_size <= 15 THEN 'medium'
+                    ELSE 'large' END AS size_bucket,
+               COUNT(*) AS n_groups,
+               MIN(group_size) AS min_size,
+               MAX(group_size) AS max_size,
+               ROUND(AVG(group_size), 3) AS avg_size
+        FROM sizes
+        GROUP BY 1
+        HAVING COUNT(*) > 1
+    """,
+    "topk_heavy_identifiers": """
+        SELECT user_id, COUNT(*) AS entity_count
+        FROM events GROUP BY user_id
+        ORDER BY entity_count DESC, user_id ASC
+        LIMIT 20
+    """,
+    "rule_match_audit": f"""
+        WITH edges AS ({_EDGES_SQL})
+        SELECT identifier_type, COUNT(*) AS edges_created
+        FROM edges GROUP BY identifier_type
+    """,
+}
+
+QUERIES = {
+    "watermark_delta_scan": q_watermark_delta_scan,
+    "entity_key_projection": q_entity_key_projection,
+    "identifier_extraction": q_identifier_extraction,
+    "exclusion_anti_join": q_exclusion_anti_join,
+    "group_sizes": q_group_sizes,
+    "skipped_groups_topk": q_skipped_groups_topk,
+    "anchor_edges": q_anchor_edges,
+    "connected_components": q_connected_components,
+    "cluster_sizes": q_cluster_sizes,
+    "cluster_confidence": q_cluster_confidence,
+    "lp_single_step": q_lp_single_step,
+    "impacted_subgraph": q_impacted_subgraph,
+    "survivorship_golden": q_survivorship_golden,
+    "dry_run_diff": q_dry_run_diff,
+    "singleton_fallback": q_singleton_fallback,
+    "watermark_advance": q_watermark_advance,
+    "monitoring_rollup": q_monitoring_rollup,
+    "topk_heavy_identifiers": q_topk_heavy_identifiers,
+    "rule_match_audit": q_rule_match_audit,
+}
