@@ -26,12 +26,25 @@ def entity_key_col(table_id: str, key_expr: str) -> F.Column:
     return F.concat_ws(":", F.lit(table_id), F.expr(key_expr).cast("string"))
 
 
+def load_sources(spark: SparkSession, cfg: EngineConfig) -> dict[str, DataFrame]:
+    """Load every active source ONCE per run and lazily checkpoint it: derived
+    sources (e.g. the transcripts signature view with its MinHash UDF) are
+    consumed by 4+ downstream stages — without this each stage would recompute
+    the whole signature build."""
+    out: dict[str, DataFrame] = {}
+    for st in cfg.sources:
+        if st.is_active:
+            out[st.table_id] = st.load(spark).localCheckpoint(eager=False)
+    return out
+
+
 def build_entities_delta(
     spark: SparkSession,
     cfg: EngineConfig,
     run_id: str,
     mode: str,
     last_watermarks: dict[str, datetime | None],
+    loaded: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """One row per delta entity: (run_id, table_id, entity_key, watermark_value).
 
@@ -39,11 +52,14 @@ def build_entities_delta(
     plain pushed-down predicate; FULL scans everything. The filter is applied
     BEFORE the projection so Catalyst pushes it into the parquet scan.
     """
+    loaded = loaded or {}
     parts: list[DataFrame] = []
     for st in cfg.sources:
         if not st.is_active:
             continue
-        df = st.load(spark)
+        df = loaded.get(st.table_id)
+        if df is None:
+            df = st.load(spark)
         if mode != "FULL":
             last = last_watermarks.get(st.table_id)
             if last is not None:
@@ -67,6 +83,7 @@ def extract_identifiers(
     cfg: EngineConfig,
     mode: str,
     last_watermarks: dict[str, datetime | None],
+    loaded: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """identifiers_all: (table_id, entity_key, identifier_type,
     identifier_value_norm, is_hashed) for ALL rows of every source
@@ -77,12 +94,15 @@ def extract_identifiers(
     filters nulls — all JVM-side. ``explodes`` mappings (LSH band arrays)
     posexplode into one row per band key.
     """
+    loaded = loaded or {}
     rules_by_type: dict[str, Rule] = {r.identifier_type: r for r in cfg.active_rules()}
     parts: list[DataFrame] = []
     for st in cfg.sources:
         if not st.is_active:
             continue
-        src = st.load(spark)
+        src = loaded.get(st.table_id)
+        if src is None:
+            src = st.load(spark)
         maps = [m for m in cfg.mappings if m.table_id == st.table_id]
         for m in maps:
             rule = rules_by_type.get(m.identifier_type)

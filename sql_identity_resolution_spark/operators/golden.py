@@ -23,11 +23,14 @@ from sql_identity_resolution_spark.operators.extract import entity_key_col
 _EPOCH = "1900-01-01"  # reference null-recency sentinel (sql/common/50:41)
 
 
-def build_entities_all(spark: SparkSession, cfg: EngineConfig) -> DataFrame:
+def build_entities_all(
+    spark: SparkSession, cfg: EngineConfig, loaded: dict[str, DataFrame] | None = None
+) -> DataFrame:
     """Long-form attribute table: (entity_key, table_id, attribute_name,
     attribute_value, record_updated_at). One scan per source, attributes
     melted via an inline stack — column-pruned to exactly the referenced
     exprs."""
+    loaded = loaded or {}
     parts: list[DataFrame] = []
     for st in cfg.sources:
         if not st.is_active:
@@ -35,7 +38,9 @@ def build_entities_all(spark: SparkSession, cfg: EngineConfig) -> DataFrame:
         attrs = [a for a in cfg.attributes if a.table_id == st.table_id]
         if not attrs:
             continue
-        src = st.load(spark)
+        src = loaded.get(st.table_id)
+        if src is None:
+            src = st.load(spark)
         cols = [
             F.struct(
                 F.lit(a.attribute_name).alias("attribute_name"),

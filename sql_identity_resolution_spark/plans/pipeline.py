@@ -108,14 +108,17 @@ class IDRPipeline:
             raise ValueError("preflight: no active rules")
         return warnings
 
-    def _entity_texts(self) -> DataFrame | None:
+    def _entity_texts(self, loaded: dict[str, DataFrame] | None = None) -> DataFrame | None:
         """(entity_key, match_text) for similarity scoring — sources exposing a
         match_text column (the transcripts signature source always does)."""
+        loaded = loaded or {}
         parts = []
         for st in self.cfg.sources:
             if not st.is_active:
                 continue
-            df = st.load(self.spark)
+            df = loaded.get(st.table_id)
+            if df is None:
+                df = st.load(self.spark)
             if "match_text" in df.columns:
                 parts.append(
                     df.select(
@@ -160,16 +163,19 @@ class IDRPipeline:
         run_state = cat.read(T_RUN_STATE, schema_str(_RUN_STATE_SCHEMA, spark))
         last_wm = {r["table_id"]: r["last_watermark_value"] for r in run_state.collect()}
 
+        # load each source exactly once (derived sources are expensive)
+        loaded = extract.load_sources(spark, cfg)
+
         # -------- entities delta (stage 10)
         with stage("entity_extraction") as s:
-            entities_delta = extract.build_entities_delta(spark, cfg, run_id, mode, last_wm)
+            entities_delta = extract.build_entities_delta(spark, cfg, run_id, mode, last_wm, loaded)
             entities_delta = entities_delta.localCheckpoint(eager=True)
             res.entities_processed = entities_delta.count()
             s.rows(res.entities_processed)
 
         # -------- identifiers (stage 11) + exclusions
         with stage("identifier_extraction") as s:
-            identifiers_all = extract.extract_identifiers(spark, cfg, mode, last_wm)
+            identifiers_all = extract.extract_identifiers(spark, cfg, mode, last_wm, loaded)
             identifiers_filtered = extract.apply_exclusions(spark, identifiers_all, cfg)
             identifiers_filtered = identifiers_filtered.localCheckpoint(eager=True)
             res.identifiers_extracted = identifiers_filtered.count()
@@ -202,7 +208,7 @@ class IDRPipeline:
             scored_pairs = None
             has_scored = any(r.match_strategy == "SCORED" for r in cfg.active_rules())
             if has_scored:
-                texts = self._entity_texts()
+                texts = self._entity_texts(loaded)
                 if texts is None:
                     raise ValueError("SCORED rules configured but no source exposes match_text")
                 pairs = blocking.candidate_pairs(valid, members)
@@ -291,7 +297,7 @@ class IDRPipeline:
         # -------- golden profile (stage 50)
         with stage("golden_profile") as s:
             if cfg.attributes:
-                entities_all = golden.build_entities_all(spark, cfg)
+                entities_all = golden.build_entities_all(spark, cfg, loaded)
                 gold = golden.golden_updates(spark, cfg, entities_all, membership_view, impacted_ids, run_ts)
                 gold = gold.localCheckpoint(eager=True)
                 n_gold = gold.count()
