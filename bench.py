@@ -107,10 +107,20 @@ def run_bench(n_conversations: int | None = None) -> dict:
 
 def run_scaling() -> None:
     """Evidence for the north rule's N→4N scaling efficiency: same job at
-    local[8] and local[32] in fresh JVMs (BASELINE.md methodology)."""
+    local[8] and local[32] in fresh JVMs (BASELINE.md methodology).
+
+    Uses a larger corpus than the per-round bench: scaling efficiency is only
+    meaningful when compute dominates fixed scheduler overhead (at 4k convs the
+    job is overhead-bound and local[8]≈local[32] by construction)."""
     results = {}
+    convs = os.environ.get("SPARK_GRAFT_SCALING_CONVS", "24000")
     for cpus in (8, 32):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_CPUS=str(cpus),
+            SPARK_GRAFT_BENCH_CONVS=convs,
+            SPARK_GRAFT_SHUFFLE=str(cpus * 2),
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True
         )

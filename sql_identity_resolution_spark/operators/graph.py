@@ -217,15 +217,36 @@ def alternating_star(
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
-    algorithm: str = "hash_min",
+    algorithm: str = "auto",
     max_iters: int = 30,
     checkpoint_every: int = 1,
     edge_count_hint: int | None = None,
     star_threshold: int = 5_000_000,
+    hash_min_budget: int = 8,
 ) -> CCResult:
+    """``auto`` (the production default) is a hybrid: graphs shaped like the
+    reference's anchor-star output converge under hash-min in ~6 rounds
+    (benchmark-results.md:35), so try that first within ``hash_min_budget``;
+    a graph whose diameter exceeds the budget (long merge chains) escalates
+    to large-star/small-star, whose round count is O(log²) regardless of
+    diameter. Above ``star_threshold`` edges skip the probe — at that size
+    even 8 wasted hash-min rounds are expensive shuffles."""
     if algorithm == "auto":
         n = edge_count_hint if edge_count_hint is not None else edges.count()
-        algorithm = "star" if n > star_threshold else "hash_min"
+        if n > star_threshold:
+            algorithm = "star"
+        else:
+            probe = hash_min_lp(
+                nodes, edges, max_iters=min(hash_min_budget, max_iters), checkpoint_every=checkpoint_every
+            )
+            if probe.converged:
+                return probe
+            star = alternating_star(nodes, edges, max_iters=max(max_iters, 50), checkpoint_every=checkpoint_every)
+            return CCResult(
+                labels=star.labels,
+                iterations=probe.iterations + star.iterations,
+                converged=star.converged,
+            )
     if algorithm == "star":
         return alternating_star(nodes, edges, max_iters=max(max_iters, 50), checkpoint_every=checkpoint_every)
     return hash_min_lp(nodes, edges, max_iters=max_iters, checkpoint_every=checkpoint_every)

@@ -652,6 +652,252 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+# -------------------------------------------- training-data operators (dedup,
+# similarity search, text analysis, multimodal) over documents/embeddings
+
+
+def _documents(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on normalized text (content-hash shuffle)."""
+    from sql_identity_resolution_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_documents(spark, sf_dir)).select("keeper_doc_id", "dup_count")
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Word-3-gram Jaccard near-dup (blocked on shared grams, anchor-star)."""
+    from sql_identity_resolution_spark.operators.dedup import ngram_jaccard_duplicates
+
+    return ngram_jaccard_duplicates(_documents(spark, sf_dir), n=3, threshold=0.8)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (pandas-UDF signatures; rows-only check)."""
+    from sql_identity_resolution_spark.operators.dedup import minhash_lsh_duplicates
+
+    return minhash_lsh_duplicates(_documents(spark, sf_dir))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup (64-bit signatures, chunk-blocked; rows-only check)."""
+    from sql_identity_resolution_spark.operators.dedup import simhash_duplicates
+
+    return simhash_duplicates(_documents(spark, sf_dir))
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup: random-hyperplane LSH blocking + exact cosine verify
+    (JVM-only expressions; rows-only check — correctness vs brute force is a
+    pytest assertion, tests/test_training_ops.py)."""
+    from sql_identity_resolution_spark.operators.dedup import embedding_cosine_duplicates
+
+    return embedding_cosine_duplicates(_embeddings(spark, sf_dir), threshold=0.95)
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for every 50th vector as query set — the exact
+    ANN baseline. Oracle: list_cosine_similarity + window in DuckDB."""
+    from sql_identity_resolution_spark.operators.similarity_search import brute_force_topk
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=5)
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN (approximate; rows-only check + recall pytest)."""
+    from sql_identity_resolution_spark.operators.similarity_search import ivf_topk
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
+
+
+def q_text_token_count(spark, sf_dir):
+    from sql_identity_resolution_spark.operators.text_analysis import bpe_ish_token_count, token_count
+
+    d = _documents(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"),
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    from sql_identity_resolution_spark.operators.text_analysis import quality_features
+
+    return quality_features(_documents(spark, sf_dir))
+
+
+def q_text_language_id(spark, sf_dir):
+    from sql_identity_resolution_spark.operators.text_analysis import language_id
+
+    return language_id(_documents(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from sql_identity_resolution_spark.operators.text_analysis import fingerprint
+
+    return fingerprint(_documents(spark, sf_dir)).select("doc_id", "content_md5", "prefix64_md5")
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-column feature extraction through mapInPandas (deterministic fake
+    decoder; real decode stubbed — see operators/multimodal.py). Rows-only."""
+    from sql_identity_resolution_spark.operators.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, n=64)
+    return extract_features(media).select("media_id", "kind", "n_bytes", "payload_sha256", "feat_mean")
+
+
+def q_video_frame_plan(spark, sf_dir):
+    """Metadata-driven frame fan-out plan (explode sequence; rows-only)."""
+    from sql_identity_resolution_spark.operators.multimodal import frame_sample_plan, synthetic_media
+
+    return frame_sample_plan(synthetic_media(spark, n=64), every_ms=5000)
+
+
+_NORM_SQL = "trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
+
+ORACLES_TRAINING: dict[str, str] = {
+    "dedup_exact": f"""
+        SELECT MIN(doc_id) AS keeper_doc_id, COUNT(*) AS dup_count
+        FROM (SELECT doc_id, {_NORM_SQL.format(c='text')} AS norm FROM documents)
+        GROUP BY norm HAVING COUNT(*) >= 2
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH toks AS (
+          SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS w FROM documents
+        ),
+        grams AS (
+          SELECT doc_id,
+                 list_distinct(list_filter(
+                   [array_to_string(w[i:i+2], ' ') FOR i IN range(1, GREATEST(len(w)-2, 0)+1)],
+                   g -> len(g) > 0)) AS grams
+          FROM toks
+        ),
+        exploded AS (SELECT doc_id, UNNEST(grams) AS g FROM grams),
+        ok AS (SELECT g FROM exploded GROUP BY g HAVING COUNT(*) >= 2 AND COUNT(*) <= 2000),
+        small AS (SELECT e.* FROM exploded e JOIN ok USING (g)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS left_doc_id, b.doc_id AS right_doc_id
+          FROM small a JOIN small b ON a.g = b.g AND a.doc_id < b.doc_id
+        )
+        SELECT c.left_doc_id, c.right_doc_id,
+               ROUND(CAST(len(list_intersect(lg.grams, rg.grams)) AS DOUBLE)
+                     / len(list_distinct(list_concat(lg.grams, rg.grams))), 6) AS jaccard
+        FROM cand c
+        JOIN grams lg ON lg.doc_id = c.left_doc_id
+        JOIN grams rg ON rg.doc_id = c.right_doc_id
+        WHERE CAST(len(list_intersect(lg.grams, rg.grams)) AS DOUBLE)
+              / len(list_distinct(list_concat(lg.grams, rg.grams))) >= 0.8
+    """,
+    "ann_cosine_topk": """
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0
+        ),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cosine
+          FROM embeddings e CROSS JOIN q
+        ),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+    "text_token_count": f"""
+        SELECT doc_id,
+               CASE WHEN len({_NORM_SQL.format(c='text')}) = 0 THEN 0
+                    ELSE len(string_split({_NORM_SQL.format(c='text')}, ' ')) END AS ws_tokens,
+               CASE WHEN len(trim(regexp_replace(
+                        regexp_replace(COALESCE(text, ''), '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+)', '\\1 ', 'g'),
+                        '\\s+', ' ', 'g'))) = 0 THEN 0
+                    ELSE len(string_split(trim(regexp_replace(
+                        regexp_replace(COALESCE(text, ''), '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+)', '\\1 ', 'g'),
+                        '\\s+', ' ', 'g')), ' ')) END AS bpe_ish_tokens
+        FROM documents
+    """,
+    "doc_fingerprint": f"""
+        SELECT doc_id,
+               md5({_NORM_SQL.format(c='text')}) AS content_md5,
+               md5(substring({_NORM_SQL.format(c='text')}, 1, 64)) AS prefix64_md5
+        FROM documents
+    """,
+    "text_quality": f"""
+        WITH b AS (
+          SELECT doc_id, COALESCE(text,'') AS t, {_NORM_SQL.format(c='text')} AS norm
+          FROM documents
+        ),
+        f AS (
+          SELECT doc_id,
+                 CASE WHEN len(norm)=0 THEN 0 ELSE len(string_split(norm,' ')) END AS n_tok,
+                 len(t) AS n_chars,
+                 CASE WHEN len(t)=0 THEN 0.0
+                      ELSE CAST(len(regexp_replace(t,'[^a-zA-Z]','','g')) AS DOUBLE)/len(t) END AS alpha_ratio,
+                 len(list_filter(string_split(norm,' '),
+                     x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x))) AS stop_hits,
+                 len(list_distinct(string_split(norm,' '))) AS n_distinct,
+                 CAST(len(replace(norm,' ','')) AS DOUBLE) AS sum_word_chars
+          FROM b
+        ),
+        g AS (
+          SELECT doc_id, n_tok, n_chars, alpha_ratio,
+                 CASE WHEN n_tok=0 THEN 0.0 ELSE CAST(stop_hits AS DOUBLE)/n_tok END AS stop_ratio,
+                 CASE WHEN n_tok=0 THEN 0.0 ELSE CAST(n_distinct AS DOUBLE)/n_tok END AS distinct_ratio,
+                 CASE WHEN n_tok=0 THEN 0.0 ELSE sum_word_chars/n_tok END AS mean_word_len
+          FROM f
+        )
+        SELECT doc_id, n_tok AS n_tokens, n_chars,
+               ROUND(alpha_ratio,4) AS alpha_ratio,
+               ROUND(stop_ratio,4) AS stopword_ratio,
+               ROUND(distinct_ratio,4) AS distinct_token_ratio,
+               ROUND(mean_word_len,4) AS mean_word_len,
+               ROUND(CASE WHEN NOT (n_tok >= 5 AND n_tok <= 100000) THEN 0.0
+                    ELSE 0.3*LEAST(1.0, alpha_ratio*1.25)
+                       + 0.2*LEAST(1.0, stop_ratio*5.0)
+                       + 0.3*distinct_ratio
+                       + 0.2*(CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN 1.0 ELSE 0.3 END)
+               END, 4) AS quality_score
+        FROM g
+    """,
+    "text_language_id": f"""
+        WITH w AS (
+          SELECT doc_id, list_distinct(string_split({_NORM_SQL.format(c='text')}, ' ')) AS words
+          FROM documents
+        ),
+        h AS (
+          SELECT doc_id,
+                 len(list_filter(words, x -> list_contains(['der','die','und','das','ist','nicht','mit','ein','zu','den'], x))) AS h_de,
+                 len(list_filter(words, x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x))) AS h_en,
+                 len(list_filter(words, x -> list_contains(['el','la','de','que','y','los','en','un','una','es'], x))) AS h_es,
+                 len(list_filter(words, x -> list_contains(['le','la','et','les','des','un','une','est','dans','que'], x))) AS h_fr
+          FROM w
+        )
+        SELECT doc_id,
+               CASE WHEN GREATEST(h_de,h_en,h_es,h_fr) = 0 THEN 'und'
+                    WHEN h_fr = GREATEST(h_de,h_en,h_es,h_fr) THEN 'fr'
+                    WHEN h_es = GREATEST(h_de,h_en,h_es,h_fr) THEN 'es'
+                    WHEN h_en = GREATEST(h_de,h_en,h_es,h_fr) THEN 'en'
+                    ELSE 'de' END AS lang_pred,
+               GREATEST(h_de,h_en,h_es,h_fr) AS stopword_hits
+        FROM h
+    """,
+}
+
 QUERIES = {
     "watermark_delta_scan": q_watermark_delta_scan,
     "entity_key_projection": q_entity_key_projection,
@@ -672,4 +918,20 @@ QUERIES = {
     "monitoring_rollup": q_monitoring_rollup,
     "topk_heavy_identifiers": q_topk_heavy_identifiers,
     "rule_match_audit": q_rule_match_audit,
+    # training-data operators
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "text_token_count": q_text_token_count,
+    "text_quality": q_text_quality,
+    "text_language_id": q_text_language_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "multimodal_features": q_multimodal_features,
+    "video_frame_plan": q_video_frame_plan,
 }
+
+ORACLES.update(ORACLES_TRAINING)
