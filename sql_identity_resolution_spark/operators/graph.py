@@ -108,36 +108,47 @@ def hash_min_lp(
     """Min-label propagation to convergence (sql/common/31; idr_run.py:440-481).
 
     labels ← nodes self-labeled; repeat: next = MIN(self ∪ neighbors' labels)
-    grouped by node; stop when Σ(cur≠next)=0. The undirected edge list is
-    checkpointed once up front (reused every iteration); labels checkpoint per
-    ``checkpoint_every`` to truncate lineage, exactly the reference's per-iter
-    table swap.
+    grouped by node; stop when Σ(cur≠next)=0.
+
+    Scale shape (beyond the reference's per-statement model):
+    - the undirected edge list is checkpointed ONCE, pre-partitioned on the
+      join key, and reused every iteration;
+    - the neighbor join is hinted SHUFFLE_HASH — the planner would otherwise
+      broadcast the label table, which means a driver collect EVERY iteration
+      (serial, and impossible at 10^9 labels anyway);
+    - convergence is an ``Observation`` on the same job that materializes the
+      next labels: ONE Spark action per iteration total, carrying each node's
+      previous label through the aggregation (MAX(cur) — only the self row
+      has it) instead of re-joining cur×next.
     """
-    und = _undirected(edges).localCheckpoint(eager=True)
+    from pyspark.sql import Observation
+
+    und = _undirected(edges).repartition("dst").localCheckpoint(eager=True)
     labels = nodes.select("entity_key", F.col("entity_key").alias("label")).localCheckpoint(eager=True)
     iterations = 0
     converged = False
     for i in range(max_iters):
         iterations = i + 1
         neighbor_labels = (
-            und.join(labels.withColumnRenamed("entity_key", "dst"), "dst", "inner")
-            .select(F.col("src").alias("entity_key"), F.col("label"))
+            und.join(labels.withColumnRenamed("entity_key", "dst").hint("shuffle_hash"), "dst", "inner")
+            .select(F.col("src").alias("entity_key"), F.col("label").alias("cand"),
+                    F.lit(None).cast("string").alias("cur"))
         )
-        nxt = (
-            labels.select("entity_key", "label")
-            .union(neighbor_labels)
+        self_labels = labels.select(
+            "entity_key", F.col("label").alias("cand"), F.col("label").alias("cur")
+        )
+        merged = (
+            self_labels.unionByName(neighbor_labels)
             .groupBy("entity_key")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("cand").alias("label"), F.max("cur").alias("cur"))
         )
-        if (i + 1) % max(1, checkpoint_every) == 0:
-            nxt = nxt.localCheckpoint(eager=True)
-        # one scalar to the driver per iteration (idr_run.py:468-477)
-        delta = (
-            labels.withColumnRenamed("label", "cur")
-            .join(nxt.withColumnRenamed("label", "nxt"), "entity_key")
-            .agg(F.sum(F.when(F.col("cur") != F.col("nxt"), 1).otherwise(0)).alias("d"))
-            .first()["d"]
-        )
+        obs = Observation(f"lp_{i}")
+        nxt = merged.observe(
+            obs, F.sum(F.when(F.col("label") != F.col("cur"), 1).otherwise(0)).alias("delta")
+        ).select("entity_key", "label")
+        # the checkpoint IS the action that fills the observation
+        nxt = nxt.localCheckpoint(eager=True)
+        delta = obs.get["delta"]
         labels = nxt
         if not delta:
             converged = True
@@ -163,6 +174,8 @@ def alternating_star(
     its component min). O(log²) rounds; each round is groupBy-min + join —
     shuffle-friendly and skew-handled by AQE.
     """
+    from pyspark.sql import Observation
+
     def _canon(df: DataFrame, a: str, b: str) -> DataFrame:
         return (
             df.filter(F.col(a) != F.col(b))
@@ -176,11 +189,21 @@ def alternating_star(
         )
 
     def _with_min(nbrs: DataFrame) -> DataFrame:
-        # m(u) = min(Γ(u) ∪ {u}) — one groupBy-min, broadcastless equi-join back
+        # m(u) = min(Γ(u) ∪ {u}); SHUFFLE_HASH so the per-round min table is
+        # never driver-broadcast (serial collect per round, size-unbounded)
         mins = nbrs.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
-        return nbrs.join(mins, "src")
+        return nbrs.join(mins.hint("shuffle_hash"), "src")
+
+    def _signature(df: DataFrame):
+        """(count, order-insensitive content hash) — set-equality fingerprint;
+        one Observation, no extra jobs. Collision-stopping-early risk ~2^-64."""
+        return [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ]
 
     pairs = _canon(edges, "left_entity_key", "right_entity_key").localCheckpoint(eager=True)
+    prev_sig = None
     iterations = 0
     converged = False
     for i in range(max_iters):
@@ -195,15 +218,14 @@ def alternating_star(
         )
         self_edges = sm.select(F.col("src").alias("a"), F.col("m").alias("b")).distinct()
         small = _canon(small_edges.union(self_edges), "a", "b")
-        if (i + 1) % max(1, checkpoint_every) == 0:
-            small = small.localCheckpoint(eager=True)
-        # fixed point: canonical edge sets equal (both are distinct sets)
-        changed = small.exceptAll(pairs).limit(1).count()
-        pairs_n, small_n = pairs.count(), small.count()
+        obs = Observation(f"star_{i}")
+        small = small.observe(obs, *_signature(small)).localCheckpoint(eager=True)
+        sig = (obs.get["n"], obs.get["h"])
         pairs = small
-        if changed == 0 and pairs_n == small_n:
+        if sig == prev_sig:
             converged = True
             break
+        prev_sig = sig
     labels = (
         nodes.join(
             pairs.groupBy("u").agg(F.min("v").alias("label")).withColumnRenamed("u", "entity_key"),

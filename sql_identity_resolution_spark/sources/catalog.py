@@ -47,25 +47,36 @@ class Catalog:
     def _pointer_path(self, name: str) -> str:
         return os.path.join(self._tdir(name), _POINTER)
 
-    def current_version(self, name: str) -> str | None:
+    def _pointer(self, name: str) -> dict | None:
         p = self._pointer_path(name)
         if not os.path.exists(p):
             return None
         with open(p) as f:
-            return json.load(f)["version"]
+            return json.load(f)
+
+    def current_version(self, name: str) -> str | None:
+        meta = self._pointer(name)
+        return meta["version"] if meta else None
 
     def exists(self, name: str) -> bool:
         return self.current_version(name) is not None
 
     # ------------------------------------------------------------------- read
     def read(self, name: str, schema: T.StructType | None = None) -> DataFrame:
-        """Read the current snapshot; empty DF with ``schema`` if table absent."""
-        v = self.current_version(name)
-        if v is None:
+        """Read the current snapshot; empty DF with ``schema`` if table absent.
+        Append tables are a manifest of immutable part versions — read them all."""
+        meta = self._pointer(name)
+        if meta is None:
             if schema is None:
                 raise FileNotFoundError(f"table {name} does not exist and no schema given")
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(os.path.join(self._tdir(name), v))
+        parts = meta.get("parts")
+        tdir = self._tdir(name)
+        if parts:
+            return self.spark.read.option("mergeSchema", "false").parquet(
+                *[os.path.join(tdir, p) for p in parts]
+            )
+        return self.spark.read.parquet(os.path.join(tdir, meta["version"]))
 
     # ------------------------------------------------------------------ write
     def _commit(self, name: str, df: DataFrame) -> None:
@@ -91,12 +102,23 @@ class Catalog:
         self._commit(name, df)
 
     def append(self, name: str, df: DataFrame) -> None:
-        """Append-only sinks (run_history, stage_metrics, audit… —
-        reference idr_out append tables, sql/common/02_ddl_observability.sql:5-53)."""
-        if self.exists(name):
-            cur = self.read(name)
-            df = cur.unionByName(df, allowMissingColumns=True)
-        self._commit(name, df)
+        """Append-only sinks (run_history, stage_metrics, audit, lineage —
+        reference idr_out append tables, sql/common/02_ddl_observability.sql:5-53).
+
+        True append: each call writes a NEW immutable part dir and atomically
+        publishes an extended manifest — never rewrites history (an O(history)
+        rewrite per run would dominate at scale). ≙ Iceberg fast append."""
+        tdir = self._tdir(name)
+        os.makedirs(tdir, exist_ok=True)
+        meta = self._pointer(name) or {}
+        parts = meta.get("parts") or ([meta["version"]] if meta.get("version") else [])
+        version = f"v{int(time.time() * 1000):016d}_{uuid.uuid4().hex[:6]}"
+        df.write.mode("overwrite").parquet(os.path.join(tdir, version))
+        parts.append(version)
+        tmp = os.path.join(tdir, f".ptr_{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "parts": parts, "committed_at": time.time()}, f)
+        os.replace(tmp, self._pointer_path(name))
 
     def merge_upsert(
         self,

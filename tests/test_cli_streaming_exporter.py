@@ -1,0 +1,119 @@
+"""CLI entry, config loader, metrics exporter, monitoring views, streaming
+incremental driver."""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime
+
+import pandas as pd
+import pytest
+
+from sql_identity_resolution_spark.datagen import write_parquet
+
+
+@pytest.fixture()
+def crm(tmp_path):
+    write_parquet(
+        pd.DataFrame(
+            {
+                "entity_id": ["A", "B", "C"],
+                "email": ["x@x.com", "x@x.com", "z@z.com"],
+                "updated_at": [datetime(2026, 1, 1)] * 3,
+            }
+        ),
+        str(tmp_path / "crm.parquet"),
+    )
+    return tmp_path
+
+
+def test_cli_end_to_end(spark, crm, capsys):
+    from sql_identity_resolution_spark.plans.cli import main
+
+    config = {
+        "warehouse": str(crm / "wh"),
+        "sources": [
+            {
+                "table_id": "crm",
+                "entity_key_expr": "entity_id",
+                "watermark_column": "updated_at",
+                "path": str(crm / "crm.parquet"),
+            }
+        ],
+        "rules": [{"rule_id": "R_EMAIL", "identifier_type": "EMAIL", "canonicalize": "LOWERCASE"}],
+        "mappings": [{"table_id": "crm", "identifier_type": "EMAIL", "identifier_value_expr": "email"}],
+    }
+    cfg_path = crm / "cfg.json"
+    cfg_path.write_text(json.dumps(config))
+    rc = main(["--config", str(cfg_path), "--mode", "FULL"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"].startswith("SUCCESS")
+    assert out["entities_processed"] == 3 and out["edges_created"] == 1
+
+
+def test_exporter_and_views(spark, crm):
+    from sql_identity_resolution_spark import EngineConfig, IDRPipeline, IdentifierMapping, Rule, SourceTable
+    from sql_identity_resolution_spark.plans.exporter import export_prometheus, monitoring_views
+
+    cfg = EngineConfig(
+        warehouse=str(crm / "wh2"),
+        sources=[SourceTable("crm", "entity_id", "updated_at", path=str(crm / "crm.parquet"))],
+        rules=[Rule("R_EMAIL", "EMAIL")],
+        mappings=[IdentifierMapping("crm", "EMAIL", "email")],
+    )
+    pipe = IDRPipeline(spark, cfg)
+    res = pipe.run("FULL")
+    text = export_prometheus(pipe.catalog, res.run_id)
+    assert "idr_run_duration_seconds" in text and res.run_id in text
+    views = monitoring_views(pipe.catalog)
+    dist = {r["size_bucket"]: r["n_clusters"] for r in views["cluster_size_distribution"].collect()}
+    assert dist.get("pair") == 1 and dist.get("singleton") == 1
+    assert views["recent_runs"].count() == 1
+
+
+def test_streaming_incremental(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sql_identity_resolution_spark import EngineConfig, IDRPipeline, IdentifierMapping, Rule, SourceTable
+    from sql_identity_resolution_spark.streaming.incremental import StreamingIDR
+
+    incoming = tmp_path / "incoming"
+    staging = tmp_path / "staging"
+    incoming.mkdir()
+    staging.mkdir()
+
+    def turns_rows(conv, text, ts):
+        return pd.DataFrame(
+            {
+                "conv_id": [conv],
+                "turn_idx": pd.array([0], dtype="int32"),
+                "role": ["user"],
+                "text": [text],
+                "tool": pd.Series([None], dtype="string"),
+                "ts": [ts],
+            }
+        )
+
+    # staging needs at least one file before the batch source can read it
+    write_parquet(turns_rows("c1", "alpha beta gamma delta epsilon", datetime(2026, 1, 1)), str(staging / "seed.parquet"))
+
+    from sql_identity_resolution_spark.sources.transcripts import transcripts_source
+
+    source, rules, mappings = transcripts_source("chat", str(staging))
+    cfg = EngineConfig(warehouse=str(tmp_path / "wh"), sources=[source], rules=rules, mappings=mappings)
+    sidr = StreamingIDR(spark, cfg, str(staging))
+
+    # first micro-batch: an exact duplicate of c1 arrives
+    write_parquet(turns_rows("c2", "alpha beta gamma delta epsilon", datetime(2026, 1, 2)), str(incoming / "b1.parquet"))
+    q = sidr.start(str(incoming), str(tmp_path / "ckpt"), trigger_seconds=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(sidr.results) >= 1
+    m = {
+        r["entity_key"]: r["resolved_id"]
+        for r in sidr.pipeline.catalog.read("identity_resolved_membership_current").collect()
+    }
+    assert m["chat:c1"] == m["chat:c2"]
