@@ -109,8 +109,30 @@ def split_by_group_size(
     return valid, skipped
 
 
+def _salted_block_join(groups: DataFrame, members: DataFrame, salt_buckets: int) -> DataFrame:
+    """Physical salting with IDENTICAL output to the plain block-key join:
+    the group side is 1 row per block — replicating it across ``salt_buckets``
+    synthetic sub-keys is free, while the (possibly hot) member side hashes
+    into sub-keys, splitting a degenerate block across ``salt_buckets``
+    partitions. Explicit fallback for non-AQE deployments (AQE skew-join does
+    this adaptively; both can coexist)."""
+    if salt_buckets and salt_buckets > 1:
+        g = groups.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+        )
+        m = members.withColumn(
+            "_salt", F.pmod(F.xxhash64("entity_key"), F.lit(salt_buckets)).cast("int")
+        )
+        return g.join(m, [*BLOCK_KEY, "_salt"], "inner").drop("_salt")
+    return groups.join(members, BLOCK_KEY, "inner")
+
+
 def anchor_edges(
-    valid_groups: DataFrame, members: DataFrame, run_ts, exact_only: bool = True
+    valid_groups: DataFrame,
+    members: DataFrame,
+    run_ts,
+    exact_only: bool = True,
+    salt_buckets: int = 0,
 ) -> DataFrame:
     """Star edges anchor→member for every valid EXACT-rule group
     (sql/common/20:38-56): join members back on the block key, drop the anchor
@@ -120,8 +142,11 @@ def anchor_edges(
     if exact_only:
         groups = groups.filter(F.col("match_strategy") == "EXACT")
     return (
-        groups.select("rule_id", *BLOCK_KEY, "anchor_entity_key")
-        .join(members.select("entity_key", *BLOCK_KEY), BLOCK_KEY, "inner")
+        _salted_block_join(
+            groups.select("rule_id", *BLOCK_KEY, "anchor_entity_key"),
+            members.select("entity_key", *BLOCK_KEY),
+            salt_buckets,
+        )
         .filter(F.col("entity_key") != F.col("anchor_entity_key"))
         .select(
             "rule_id",
@@ -134,7 +159,7 @@ def anchor_edges(
     )
 
 
-def candidate_pairs(valid_groups: DataFrame, members: DataFrame, salt_buckets: int = 8) -> DataFrame:
+def candidate_pairs(valid_groups: DataFrame, members: DataFrame, salt_buckets: int = 0) -> DataFrame:
     """Candidate pairs for SCORED rules: anchor-star pairs per block (N−1 per
     block, not N²), ordered left<right for dedup across bands.
 
@@ -148,8 +173,11 @@ def candidate_pairs(valid_groups: DataFrame, members: DataFrame, salt_buckets: i
     """
     scored = valid_groups.filter(F.col("match_strategy") == "SCORED")
     pairs = (
-        scored.select("rule_id", *BLOCK_KEY, "anchor_entity_key", "threshold", "scorer")
-        .join(members.select("entity_key", *BLOCK_KEY), BLOCK_KEY, "inner")
+        _salted_block_join(
+            scored.select("rule_id", *BLOCK_KEY, "anchor_entity_key", "threshold", "scorer"),
+            members.select("entity_key", *BLOCK_KEY),
+            salt_buckets,
+        )
         .filter(F.col("entity_key") != F.col("anchor_entity_key"))
         .select(
             "rule_id",

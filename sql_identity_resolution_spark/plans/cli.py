@@ -66,13 +66,19 @@ def load_config(path: str) -> EngineConfig:
         checkpoint_every=doc.get("checkpoint_every", 1),
     )
     # transcripts sources: {"table_id": ..., "path": ..., "lsh_threshold": ...}
-    from sql_identity_resolution_spark.sources.transcripts import transcripts_source
+    from sql_identity_resolution_spark.sources.transcripts import (
+        transcripts_attributes,
+        transcripts_source,
+    )
 
     for t in transcripts:
+        with_attrs = t.pop("golden_attributes", True)
         src, rules, mappings = transcripts_source(**t)
         cfg.sources.append(src)
         cfg.rules.extend(rules)
         cfg.mappings.extend(mappings)
+        if with_attrs:
+            cfg.attributes.extend(transcripts_attributes(t["table_id"]))
     return cfg
 
 

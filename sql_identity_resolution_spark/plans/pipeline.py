@@ -48,6 +48,7 @@ T_DRY_RESULTS = "dry_run_results"
 T_DRY_SUMMARY = "dry_run_summary"
 T_METRICS = "metrics_export"
 T_LINEAGE = "partition_lineage"
+T_IDENTIFIER_QUALITY = "identifier_quality"
 
 _EDGE_SCHEMA = (
     "rule_id string, left_entity_key string, right_entity_key string, "
@@ -207,7 +208,7 @@ class IDRPipeline:
                 )
             cat.append(T_SKIPPED, skipped)
 
-            edges_exact = blocking.anchor_edges(valid, members, run_ts)
+            edges_exact = blocking.anchor_edges(valid, members, run_ts, salt_buckets=cfg.salt_buckets)
 
             scored_pairs = None
             has_scored = any(r.match_strategy == "SCORED" for r in cfg.active_rules())
@@ -215,7 +216,7 @@ class IDRPipeline:
                 texts = self._entity_texts(loaded)
                 if texts is None:
                     raise ValueError("SCORED rules configured but no source exposes match_text")
-                pairs = blocking.candidate_pairs(valid, members)
+                pairs = blocking.candidate_pairs(valid, members, salt_buckets=cfg.salt_buckets)
                 scorer_names = sorted(
                     {r.scorer for r in cfg.active_rules() if r.match_strategy == "SCORED"}
                 )
@@ -332,6 +333,33 @@ class IDRPipeline:
             )
             cat.append(T_AUDIT, audit)
 
+            # identifier quality profile (≙ idr_out.identifier_quality,
+            # sql/common/02_ddl_observability.sql): per type, volume /
+            # cardinality / reuse — the signals that catch a degenerate
+            # blocking key before it melts a partition.
+            quality = (
+                identifiers_filtered.groupBy("identifier_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n_values"),
+                    F.approx_count_distinct("identifier_value_norm").alias("approx_distinct"),
+                    F.approx_count_distinct("entity_key").alias("approx_entities"),
+                )
+                .select(
+                    F.lit(run_id).alias("run_id"),
+                    "identifier_type",
+                    "n_values",
+                    "approx_distinct",
+                    "approx_entities",
+                    F.round(
+                        F.col("n_values").cast("double")
+                        / F.greatest(F.lit(1), F.col("approx_distinct")),
+                        3,
+                    ).alias("avg_group_size_est"),
+                    F.lit(run_ts).cast("timestamp").alias("computed_at"),
+                )
+            )
+            cat.append(T_IDENTIFIER_QUALITY, quality)
+
             # per-partition lineage: one row per block (block id, pair count,
             # score histogram, cluster delta) — north-rule observability.
             lineage = sizes.select(
@@ -379,6 +407,7 @@ class IDRPipeline:
                 ).localCheckpoint(eager=True)
                 cat.append(T_DRY_RESULTS, diff)
                 counts = {r["change_type"]: r["n"] for r in diff.groupBy("change_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+                largest = csizes.agg(F.max("cluster_size").alias("m")).first()["m"] or 0
                 summary = spark.createDataFrame(
                     [(
                         run_id,
@@ -386,14 +415,15 @@ class IDRPipeline:
                         counts.get("NEW", 0),
                         counts.get("MOVED", 0),
                         counts.get("UNCHANGED", 0),
+                        int(largest),
                         res.edges_created,
                         res.groups_skipped,
                         res.values_excluded,
                         float(round(time.time() - t0, 3)),
                     )],
                     "run_id string, total_entities bigint, new_entities bigint, moved_entities bigint, "
-                    "unchanged_entities bigint, edges_would_create bigint, groups_would_skip bigint, "
-                    "values_would_exclude bigint, execution_time_seconds double",
+                    "unchanged_entities bigint, largest_proposed_cluster bigint, edges_would_create bigint, "
+                    "groups_would_skip bigint, values_would_exclude bigint, execution_time_seconds double",
                 )
                 cat.append(T_DRY_SUMMARY, summary)
                 s.rows(sum(counts.values()))

@@ -59,6 +59,10 @@ def build_session(
         # broadcast threshold: metadata tables (rules/exclusions/trust) are tiny and
         # must broadcast; 64MB keeps dimension joins shuffle-free.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # text-heavy shuffles (signatures, candidate-pair scoring) are disk-IO
+        # bound on local shuffle storage; zstd roughly halves bytes vs lz4
+        .config("spark.io.compression.codec", "zstd")
+        .config("spark.io.compression.zstd.level", "1")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sql_identity_resolution_spark.config import (
+    AttributeMapping,
     EngineConfig,
     IdentifierMapping,
     Rule,
@@ -130,3 +131,14 @@ def transcripts_source(
         IdentifierMapping(table_id, "LSH_TEXT", "lsh_bands", explodes=True),
     ]
     return source, rules, mappings
+
+
+def transcripts_attributes(table_id: str) -> list[AttributeMapping]:
+    """Golden-profile survivorship attributes for a transcripts source — the
+    per-cluster canonical signature (≙ reference golden profile, SURVEY §7.2
+    M2): most recent conversation's signature/text snippet + size features."""
+    return [
+        AttributeMapping("canonical_signature", table_id, "sig_full_text", "MOST_RECENT"),
+        AttributeMapping("canonical_snippet", table_id, "substring(match_text, 1, 200)", "MOST_RECENT"),
+        AttributeMapping("canonical_n_turns", table_id, "cast(n_turns as string)", "MOST_RECENT"),
+    ]
