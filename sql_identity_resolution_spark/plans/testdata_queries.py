@@ -769,6 +769,36 @@ def q_video_frame_plan(spark, sf_dir):
     return frame_sample_plan(synthetic_media(spark, n=64), every_ms=5000)
 
 
+def q_sessionization(spark, sf_dir):
+    """Event sessionization: lag(ts) per user → new-session flag on gap>30min →
+    running cumsum = session id → per-session rollup. The window-function
+    pattern every event/training-data pipeline needs (lag + conditional
+    cumulative sum), absent from the reference but first-class here."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(F.col("prev_ts").cast("timestamp"))
+                    > 1800 * 1_000_000
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_seq", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+    )
+
+
 _NORM_SQL = "trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
 
 ORACLES_TRAINING: dict[str, str] = {
@@ -932,6 +962,29 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_features": q_multimodal_features,
     "video_frame_plan": q_video_frame_plan,
+    "sessionization": q_sessionization,
 }
+
+ORACLES["sessionization"] = """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *, SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+    FROM sess GROUP BY user_id, session_seq
+"""
 
 ORACLES.update(ORACLES_TRAINING)

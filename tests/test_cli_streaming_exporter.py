@@ -72,6 +72,24 @@ def test_exporter_and_views(spark, crm):
     assert views["recent_runs"].count() == 1
 
 
+def test_dashboard_generation(spark, crm, tmp_path):
+    from sql_identity_resolution_spark import EngineConfig, IDRPipeline, IdentifierMapping, Rule, SourceTable
+    from sql_identity_resolution_spark.plans.dashboard import generate_dashboard
+
+    cfg = EngineConfig(
+        warehouse=str(crm / "wh3"),
+        sources=[SourceTable("crm", "entity_id", "updated_at", path=str(crm / "crm.parquet"))],
+        rules=[Rule("R_EMAIL", "EMAIL")],
+        mappings=[IdentifierMapping("crm", "EMAIL", "email")],
+    )
+    pipe = IDRPipeline(spark, cfg)
+    pipe.run("FULL")
+    out = generate_dashboard(pipe.catalog, str(tmp_path / "dash.html"))
+    page = open(out).read()
+    for section in ["Cluster size distribution", "Recent runs", "Stage timings", "Identifier quality"]:
+        assert section in page
+
+
 def test_streaming_incremental(spark, tmp_path):
     from pyspark.sql import functions as F
 
