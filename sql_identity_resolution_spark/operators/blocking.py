@@ -17,7 +17,7 @@ Reference: ``sql/common/20_build_edges_incremental.sql`` and
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sql_identity_resolution_spark.config import DEFAULT_MAX_GROUP_SIZE, EngineConfig
@@ -59,18 +59,25 @@ def group_sizes(members: DataFrame, sample_n: int = 5) -> DataFrame:
     """Per block key: COUNT, MIN (anchor), first-N ordered sample keys
     (idr_run.py:300-310 — ``list_slice(LIST(entity_key ORDER BY entity_key),1,5)``).
 
-    collect_list is capped BEFORE the shuffle-heavy sort by pre-aggregating the
-    sample with ``slice(sort_array(...))`` only over a bounded prefix: for huge
-    groups we avoid materializing the full member list by taking min/count in
-    the same agg and sampling via ``slice(sort_array(collect_list), 1, N)`` —
-    safe here because groups above max_group_size are audited and the audited
-    sample only needs N keys; the cap keeps worst case bounded by the guard.
+    This agg runs BEFORE the max_group_size guard splits out degenerate blocks
+    (that's its job), so it must never materialize a full group in memory:
+    count/min stay in the cheap hash agg; the N-key sample comes from a
+    ``row_number ≤ N`` window — the sort is external (spills), each task
+    streams sorted rows and keeps only N, so a 10⁸-member hot key costs a
+    disk sort, not an executor OOM. Both aggs share the block-key exchange.
     """
-    return members.groupBy(*BLOCK_KEY).agg(
+    stats = members.groupBy(*BLOCK_KEY).agg(
         F.count(F.lit(1)).alias("group_size"),
         F.min("entity_key").alias("anchor_entity_key"),
-        F.slice(F.sort_array(F.collect_list("entity_key")), 1, sample_n).alias("sample_keys"),
     )
+    w = Window.partitionBy(*BLOCK_KEY).orderBy("entity_key")
+    sample = (
+        members.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= sample_n)
+        .groupBy(*BLOCK_KEY)
+        .agg(F.sort_array(F.collect_list("entity_key")).alias("sample_keys"))
+    )
+    return stats.join(sample, BLOCK_KEY, "left")
 
 
 def _rules_df(spark: SparkSession, cfg: EngineConfig) -> DataFrame:

@@ -65,6 +65,17 @@ _RUN_STATE_SCHEMA = (
 )
 
 
+class ConvergenceError(RuntimeError):
+    """Raised when label propagation fails to converge within max_iters.
+
+    The reference HARD-FAILS here (``sql/databricks/core/IDR_Run.py:493-494``
+    raises on non-convergence) — publishing membership built from
+    non-converged labels would silently commit wrong clusters. The failed run
+    is still recorded in run_history (status=FAILED) before raising, and no
+    production table has been touched yet at that point, so the next run
+    resumes cleanly from the prior snapshot boundary."""
+
+
 @dataclass
 class RunResult:
     run_id: str
@@ -177,11 +188,22 @@ class IDRPipeline:
         # -------- identifiers (stage 11) + exclusions
         with stage("identifier_extraction") as s:
             identifiers_all = extract.extract_identifiers(spark, cfg, mode, last_wm, loaded)
+            # excluded-count via Observation on the anti-join INPUT: one
+            # extraction job total — a second identifiers_all.count() would
+            # re-run the whole (UDF-bearing) extraction just for a metric.
+            excl_obs = None
+            if cfg.exclusions:
+                from pyspark.sql import Observation
+
+                excl_obs = Observation("exclusion_input")
+                identifiers_all = identifiers_all.observe(
+                    excl_obs, F.count(F.lit(1)).alias("n_input")
+                )
             identifiers_filtered = extract.apply_exclusions(spark, identifiers_all, cfg)
             identifiers_filtered = identifiers_filtered.localCheckpoint(eager=True)
             res.identifiers_extracted = identifiers_filtered.count()
-            if cfg.exclusions:
-                res.values_excluded = identifiers_all.count() - res.identifiers_extracted
+            if excl_obs is not None:
+                res.values_excluded = excl_obs.get["n_input"] - res.identifiers_extracted
                 if res.values_excluded:
                     res.warnings.append(
                         f"{res.values_excluded} identifier values excluded (matched exclusion list)"
@@ -276,7 +298,23 @@ class IDRPipeline:
             res.lp_iterations = cc.iterations
             res.lp_converged = cc.converged
             if not cc.converged:
-                res.warnings.append(f"label propagation did not converge in {cc.iterations} iterations")
+                # HARD FAIL (≙ IDR_Run.py:493-494): no membership/cluster/golden
+                # MERGE may run on non-converged labels. Record the failed run
+                # for observability, then raise. Edges already merged are valid
+                # facts (idempotent MERGE, independent of clustering) and the
+                # watermark has NOT advanced, so the next run reprocesses the
+                # same delta cleanly from the prior snapshot boundary.
+                res.status = "FAILED"
+                res.warnings.append(
+                    f"label propagation did not converge in {cc.iterations} iterations"
+                )
+                res.duration_seconds = round(time.time() - t0, 3)
+                self._record_history(res, run_ts, stage_rows)
+                raise ConvergenceError(
+                    f"run {run_id}: label propagation did not converge within "
+                    f"{cc.iterations} iterations (algorithm={cfg.cc_algorithm}, "
+                    f"max_iters={cfg.max_iters}); no membership was published"
+                )
             labels = cc.labels.localCheckpoint(eager=True)
             s.rows(labels.count())
 
@@ -433,26 +471,7 @@ class IDRPipeline:
         res.status = (
             "DRY_RUN_COMPLETE" if dry_run else ("SUCCESS_WITH_WARNINGS" if res.warnings else "SUCCESS")
         )
-        history = spark.createDataFrame(
-            [(
-                run_id, mode, bool(dry_run), res.status, run_ts, res.duration_seconds,
-                res.entities_processed, res.edges_created, res.clusters_impacted,
-                res.lp_iterations, res.groups_skipped, res.values_excluded,
-                json.dumps(res.warnings) if res.warnings else None,
-            )],
-            "run_id string, run_mode string, dry_run boolean, status string, started_at timestamp, "
-            "duration_seconds double, entities_processed bigint, edges_created bigint, "
-            "clusters_impacted bigint, lp_iterations int, groups_skipped bigint, "
-            "values_excluded bigint, warnings string",
-        )
-        cat.append(T_RUN_HISTORY, history)
-        if stage_rows:
-            cat.append(
-                T_STAGE_METRICS,
-                spark.createDataFrame(
-                    stage_rows, "run_id string, stage string, rows bigint, seconds double, run_ts timestamp"
-                ),
-            )
+        self._record_history(res, run_ts, stage_rows)
         metrics = [
             (run_id, "idr_run_duration_seconds", float(res.duration_seconds), "gauge"),
             (run_id, "idr_entities_processed", float(res.entities_processed), "gauge"),
@@ -468,6 +487,30 @@ class IDRPipeline:
             ).withColumn("exported_at", F.current_timestamp()),
         )
         return res
+
+    def _record_history(self, res: RunResult, run_ts, stage_rows: list[tuple]) -> None:
+        """Append run_history + stage_metrics (shared by the success finalize
+        and the non-convergence failure path)."""
+        history = self.spark.createDataFrame(
+            [(
+                res.run_id, res.mode, bool(res.dry_run), res.status, run_ts, res.duration_seconds,
+                res.entities_processed, res.edges_created, res.clusters_impacted,
+                res.lp_iterations, res.groups_skipped, res.values_excluded,
+                json.dumps(res.warnings) if res.warnings else None,
+            )],
+            "run_id string, run_mode string, dry_run boolean, status string, started_at timestamp, "
+            "duration_seconds double, entities_processed bigint, edges_created bigint, "
+            "clusters_impacted bigint, lp_iterations int, groups_skipped bigint, "
+            "values_excluded bigint, warnings string",
+        )
+        self.catalog.append(T_RUN_HISTORY, history)
+        if stage_rows:
+            self.catalog.append(
+                T_STAGE_METRICS,
+                self.spark.createDataFrame(
+                    stage_rows, "run_id string, stage string, rows bigint, seconds double, run_ts timestamp"
+                ),
+            )
 
 
 def schema_str(s: str, spark: SparkSession):

@@ -161,12 +161,18 @@ def q_exclusion_anti_join(spark, sf_dir):
 
 
 def q_group_sizes(spark, sf_dir):
-    """A2+O2: block-key group sizes with MIN anchor + ordered sample keys."""
+    """A2+O2: block-key group sizes with MIN anchor + ordered sample keys —
+    via the engine operator (bounded row_number≤N sample, never a full
+    collect_list over a degenerate block)."""
+    from sql_identity_resolution_spark.operators.blocking import group_sizes
+
     ids = _identifiers(spark, sf_dir)
-    return ids.groupBy("identifier_type", "identifier_value_norm").agg(
-        F.count(F.lit(1)).alias("group_size"),
-        F.min("entity_key").alias("anchor_entity_key"),
-        F.concat_ws(",", F.slice(F.sort_array(F.collect_list("entity_key")), 1, 5)).alias("sample_keys"),
+    return group_sizes(ids).select(
+        "identifier_type",
+        "identifier_value_norm",
+        "group_size",
+        "anchor_entity_key",
+        F.concat_ws(",", "sample_keys").alias("sample_keys"),
     )
 
 
@@ -792,9 +798,13 @@ def q_sessionization(spark, sf_dir):
         )
         .withColumn("session_seq", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
     )
+    # total_value must be hash-stable across engines: double sums accumulate in
+    # engine/partition-dependent order, so sum in exact decimal(38,6) (order-
+    # independent), round in decimal, and only then cast back to double — the
+    # resulting double is bit-identical in Spark and DuckDB.
     return sess.groupBy("user_id", "session_seq").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        F.round(F.sum(F.col("value").cast("decimal(38,6)")), 4).cast("double").alias("total_value"),
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
     )
 
@@ -982,7 +992,7 @@ ORACLES["sessionization"] = """
     )
     SELECT user_id, session_seq,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 4) AS total_value,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE) AS total_value,
            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start
     FROM sess GROUP BY user_id, session_seq
 """

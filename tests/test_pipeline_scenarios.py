@@ -318,6 +318,56 @@ def test_lookback_late_data(spark, tmp_path):
     assert m["crm:L"] == m["crm:A"]
 
 
+# 16. non-convergence HARD-FAILS: no membership published, status FAILED
+# (≙ sql/databricks/core/IDR_Run.py:493-494 raising on MAX_ITERS exhaustion)
+def test_nonconvergence_blocks_publish(spark, tmp_path):
+    from sql_identity_resolution_spark.plans.pipeline import ConvergenceError
+
+    # chain A–B (email) + B–C (phone): diameter 2, hash_min needs >1 iteration
+    cfg = make_cfg(
+        tmp_path,
+        rows([
+            ("A001", "a@x.com", "111"),
+            ("B001", "a@x.com", "222"),
+            ("C001", "c@x.com", "222"),
+        ]),
+        max_iters=1,
+        cc_algorithm="hash_min",
+    )
+    pipe = IDRPipeline(spark, cfg)
+    with pytest.raises(ConvergenceError):
+        pipe.run("FULL")
+    # nothing published on non-converged labels
+    assert not pipe.catalog.exists("identity_resolved_membership_current")
+    assert not pipe.catalog.exists("identity_clusters_current")
+    # the failed run is still observable
+    hist = pipe.catalog.read("run_history").collect()
+    assert len(hist) == 1 and hist[0]["status"] == "FAILED"
+    # watermark did not advance → next run reprocesses the same delta
+    assert not pipe.catalog.exists("run_state")
+
+
+# 17. group_sizes sample is bounded: a degenerate 50k-member block yields
+# count/min in the hash agg and exactly sample_n keys from a rank≤N window —
+# no executor ever materializes the full member list (operators/blocking.py).
+def test_group_sizes_bounded_sample_hot_block(spark):
+    from pyspark.sql import functions as F
+
+    from sql_identity_resolution_spark.operators.blocking import group_sizes
+
+    members = spark.range(50_000).select(
+        F.format_string("e%07d", F.col("id")).alias("entity_key"),
+        F.lit("HOT").alias("identifier_type"),
+        F.lit("v1").alias("identifier_value_norm"),
+    )
+    out = group_sizes(members, sample_n=5).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["group_size"] == 50_000
+    assert row["anchor_entity_key"] == "e0000000"
+    assert row["sample_keys"] == [f"e{i:07d}" for i in range(5)]
+
+
 # 15. incremental merge relabels ALL members of touched clusters (superset fix)
 def test_incremental_full_cluster_relabel(spark, tmp_path):
     t1, t2 = datetime(2026, 1, 1), datetime(2026, 2, 1)
