@@ -8,49 +8,72 @@ which lets the whole LSH layer ride the reference's generic
 ``(identifier_type, identifier_value_norm)`` blocking machinery unchanged
 (one identifier_type, e.g. ``LSH_TEXT``, many band-key values per entity).
 
+Hashing scheme (chosen for BOTH speed and cross-engine reproducibility):
+
+- shingle hash: polynomial rolling hash over codepoints,
+  ``h(g) = Σ_j cp(g[j])·257^(k−1−j) mod 2^61−1`` — fully vectorized in numpy
+  (one sliding-window matmul per text, no per-shingle hashlib loop: ~10×
+  faster than the digest-per-shingle approach it replaces) and exactly
+  reproducible in ANSI SQL (``ord``/``substring``/integer arithmetic), which
+  is what lets DuckDB oracles verify the MinHash/SimHash operators
+  end-to-end. Exponents stay < 257^5 so every intermediate fits in uint64
+  with NO modular reduction until the end — bit-exact on both engines.
+- permutations: Carter-Wegman ``(a·h + b) mod p`` with p = 2^31−1, so the
+  products stay < 2^62 (no overflow in either numpy uint64 or SQL UBIGINT).
+- band key: plain decimal string ``band:sig0-sig1-…`` — no digest step, so
+  the oracle needs no non-ANSI hash function.
+
 No per-row Python UDFs (BASELINE.json input_hint bans them): this is a pandas
 UDF over Arrow batches; inner math is numpy over the shingle×perm matrix.
-Seeds are fixed constants ⇒ deterministic across executors and runs
-(hashlib.blake2b, not PYTHONHASHSEED-dependent built-in hash()).
+Seeds are fixed constants ⇒ deterministic across executors and runs.
 """
 
 from __future__ import annotations
-
-import hashlib
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_MERSENNE = np.uint64((1 << 61) - 1)
+_MERSENNE61 = np.uint64((1 << 61) - 1)
+_P31 = np.uint64((1 << 31) - 1)  # 2147483647, Mersenne prime
+_POLY_BASE = np.uint64(257)
+_MAX_SHINGLE_K = 5  # 257^4·cp < 2^53 per term ⇒ Σ of 5 terms exact in uint64
 
 
 def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """Universal-hash constants a∈[1,p), b∈[0,p) with p=2^31−1. The same
+    constants are embedded as literals in the DuckDB oracle SQL."""
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64) | np.uint64(1)
-    b = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    a = rng.randint(1, (1 << 31) - 1, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, (1 << 31) - 1, size=num_perm, dtype=np.uint64)
     return a, b
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Character k-shingles → stable u64 hashes."""
+    """Character k-shingles → u64 polynomial hashes mod 2^61−1, vectorized.
+
+    A text shorter than ``k`` is a single shingle (the whole text) — mirrored
+    by the oracle's ``CASE WHEN len(t) <= k THEN [t] …``.
+    """
+    assert k <= _MAX_SHINGLE_K, f"shingle_k>{_MAX_SHINGLE_K} would overflow the exact u64 path"
     if not text:
         return np.empty(0, dtype=np.uint64)
-    if len(text) <= k:
-        grams = [text]
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    if len(cp) <= k:
+        windows = cp[None, :]
+        kk = len(cp)
     else:
-        grams = [text[i : i + k] for i in range(len(text) - k + 1)]
-    out = np.empty(len(grams), dtype=np.uint64)
-    for i, g in enumerate(grams):
-        out[i] = int.from_bytes(hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(), "little")
-    return out
+        windows = np.lib.stride_tricks.sliding_window_view(cp, k)
+        kk = k
+    powers = _POLY_BASE ** np.arange(kk - 1, -1, -1, dtype=np.uint64)
+    return (windows * powers[None, :]).sum(axis=1) % _MERSENNE61
 
 
 def minhash_band_keys(
     texts: pd.Series, num_perm: int = 64, bands: int = 16, shingle_k: int = 5, seed: int = 42
 ) -> pd.Series:
-    """pd.Series[str] → pd.Series[list[str]] of ``band_idx:hex`` keys."""
+    """pd.Series[str] → pd.Series[list[str]] of ``band:sig0-sig1-…`` keys."""
     assert num_perm % bands == 0, "bands must divide num_perm"
     rows = num_perm // bands
     a, b = _perm_params(num_perm, seed)
@@ -64,12 +87,12 @@ def minhash_band_keys(
             out.append([])
             continue
         # (n_shingles, num_perm) universal hash, min over shingles = signature
-        sig = ((h[:, None] * a[None, :] + b[None, :]) & _MERSENNE).min(axis=0)
+        h31 = h % _P31
+        sig = ((h31[:, None] * a[None, :] + b[None, :]) % _P31).min(axis=0)
         keys = []
         for band in range(bands):
-            chunk = sig[band * rows : (band + 1) * rows].tobytes()
-            digest = hashlib.blake2b(chunk, digest_size=8).hexdigest()
-            keys.append(f"{band}:{digest}")
+            chunk = sig[band * rows : (band + 1) * rows]
+            keys.append(f"{band}:" + "-".join(str(int(x)) for x in chunk))
         out.append(keys)
     return pd.Series(out)
 
@@ -84,9 +107,21 @@ def minhash_band_keys_udf(num_perm: int = 64, bands: int = 16, shingle_k: int = 
     return _udf
 
 
+_SIMHASH_SEED = 7  # distinct from the MinHash permutation seed
+
+
 def simhash64(texts: pd.Series, shingle_k: int = 4) -> pd.Series:
     """64-bit SimHash (Charikar 2002) over char shingles; pd.Series[str]→pd.Series[int64].
-    Used by the near-dup dedup operator (bit-banded for blocking)."""
+    Used by the near-dup dedup operator (bit-banded for blocking).
+
+    Bit j's vote comes from the PARITY of an independent Carter-Wegman hash
+    ``(a_j·h + b_j) mod 2^31−1`` of the shingle hash — 64 pairwise-independent
+    bits. Using the polynomial hash's raw bits instead correlates signatures
+    of unrelated documents (poly hashes of prefix-sharing shingles share high
+    bits), which at corpus scale floods the chunk-blocked verify join with
+    false candidates (observed 600× pair inflation on the sf0.01 documents
+    table). Same exact-u64 arithmetic as MinHash ⇒ same DuckDB oracle scheme."""
+    a, b = _perm_params(64, seed=_SIMHASH_SEED)
     out = np.zeros(len(texts), dtype=np.int64)
     bit_idx = np.arange(64, dtype=np.uint64)
     for i, text in enumerate(texts):
@@ -97,7 +132,8 @@ def simhash64(texts: pd.Series, shingle_k: int = 4) -> pd.Series:
         if h.size == 0:
             out[i] = 0
             continue
-        bits = (h[:, None] >> bit_idx[None, :]) & np.uint64(1)  # (n, 64)
+        h31 = h % _P31
+        bits = ((h31[:, None] * a[None, :] + b[None, :]) % _P31) & np.uint64(1)  # (n, 64)
         votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
         out[i] = int(np.uint64(((votes > 0).astype(np.uint64) << bit_idx).sum()).astype(np.int64))
     return pd.Series(out)

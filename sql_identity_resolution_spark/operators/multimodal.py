@@ -37,14 +37,21 @@ FEATURE_SCHEMA = (
 
 
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for plumbing tests: payload bytes derive
-    from a seeded RNG; metadata follows the kind."""
-    rng = np.random.RandomState(seed)
+    """Deterministic fake media table for plumbing tests: payload bytes are an
+    md5 chain keyed by (media_id, block) — reproducible in ANSI SQL (DuckDB
+    oracle regenerates the identical bytes via ``md5(id || ':' || block)``),
+    unlike a seeded RNG stream. Metadata follows the kind. ``seed`` retained
+    for API compatibility (ignored: the md5 chain is the determinism source)."""
+    import hashlib
+
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = rng.bytes(256 + (i % 7) * 64)
+        n_bytes = 256 + (i % 7) * 64  # multiple of 16 ⇒ no feature padding
+        payload = b"".join(
+            hashlib.md5(f"{i}:{blk}".encode("ascii")).digest() for blk in range(n_bytes // 16)
+        )
         rows.append(
             (
                 i,
@@ -91,14 +98,22 @@ def extract_features(media: DataFrame, dim: int = 16, use_fake_decoder: bool = T
             for payload in pdf["payload"]:
                 b = bytes(payload) if payload is not None else b""
                 nbytes.append(len(b))
-                hashes.append(hashlib.sha256(b).hexdigest())
+                # content hash over the lowercase-hex encoding: DuckDB 1.x
+                # sha256 only accepts VARCHAR, so hashing the hex form keeps
+                # the fingerprint oracle-verifiable (same collision strength)
+                hashes.append(hashlib.sha256(b.hex().encode("ascii")).hexdigest())
                 if use_fake_decoder:
                     v = _fake_decode(b, dim)
                 else:  # pragma: no cover - cluster-only path
                     v = decode_image(b)
                 feats.append(v.astype(np.float32).tolist())
-                means.append(float(v.mean()) if v.size else 0.0)
-                stds.append(float(v.std()) if v.size else 0.0)
+                # feat_mean = exact mean byte value: integer sum / length in
+                # float64 — one deterministic division, bit-identical to the
+                # SQL oracle (a float32 pooled mean would drift per sum order)
+                means.append(
+                    float(int(np.frombuffer(b, dtype=np.uint8).sum())) / len(b) if b else 0.0
+                )
+                stds.append(float(v.astype(np.float64).std()) if v.size else 0.0)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

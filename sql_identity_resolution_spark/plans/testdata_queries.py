@@ -685,14 +685,18 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates (pandas-UDF signatures; rows-only check)."""
+    """MinHash+LSH near-dup candidates. Shingle/permutation hashing is the
+    SQL-reproducible polynomial scheme (functions/minhash.py), so the DuckDB
+    oracle recomputes the exact signatures, band keys, and bucket pairs."""
     from sql_identity_resolution_spark.operators.dedup import minhash_lsh_duplicates
 
     return minhash_lsh_duplicates(_documents(spark, sf_dir))
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup (64-bit signatures, chunk-blocked; rows-only check)."""
+    """SimHash near-dup (64-bit signatures, chunk-blocked) — full DuckDB
+    oracle: same polynomial shingle hashes, bit votes, chunk blocking,
+    bit_count(xor) verify."""
     from sql_identity_resolution_spark.operators.dedup import simhash_duplicates
 
     return simhash_duplicates(_documents(spark, sf_dir))
@@ -700,8 +704,8 @@ def q_dedup_simhash(spark, sf_dir):
 
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding near-dup: random-hyperplane LSH blocking + exact cosine verify
-    (JVM-only expressions; rows-only check — correctness vs brute force is a
-    pytest assertion, tests/test_training_ops.py)."""
+    (JVM-only expressions). Oracled: the 8 deterministic hyperplanes are
+    embedded as literal arrays in the DuckDB SQL."""
     from sql_identity_resolution_spark.operators.dedup import embedding_cosine_duplicates
 
     return embedding_cosine_duplicates(_embeddings(spark, sf_dir), threshold=0.95)
@@ -720,7 +724,10 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF-bucketed ANN (approximate; rows-only check + recall pytest)."""
+    """IVF-bucketed ANN (deterministic seeds + 1 k-means pass + 2-cell
+    redundant assignment). Oracled end-to-end: the DuckDB SQL replays
+    seeding, refinement, assignment, probing, and ranking; recall vs brute
+    force is additionally asserted ≥0.9 in pytest."""
     from sql_identity_resolution_spark.operators.similarity_search import ivf_topk
 
     emb = _embeddings(spark, sf_dir)
@@ -761,7 +768,8 @@ def q_doc_fingerprint(spark, sf_dir):
 
 def q_multimodal_features(spark, sf_dir):
     """Binary-column feature extraction through mapInPandas (deterministic fake
-    decoder; real decode stubbed — see operators/multimodal.py). Rows-only."""
+    decoder; real decode stubbed — see operators/multimodal.py). Oracled:
+    payloads are an md5 chain the SQL regenerates byte-for-byte."""
     from sql_identity_resolution_spark.operators.multimodal import extract_features, synthetic_media
 
     media = synthetic_media(spark, n=64)
@@ -769,7 +777,8 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def q_video_frame_plan(spark, sf_dir):
-    """Metadata-driven frame fan-out plan (explode sequence; rows-only)."""
+    """Metadata-driven frame fan-out plan (explode sequence; generate_series
+    oracle)."""
     from sql_identity_resolution_spark.operators.multimodal import frame_sample_plan, synthetic_media
 
     return frame_sample_plan(synthetic_media(spark, n=64), every_ms=5000)
@@ -937,6 +946,229 @@ ORACLES_TRAINING: dict[str, str] = {
         FROM h
     """,
 }
+
+# --------------------------------------------------------------- LSH oracles
+# The MinHash/SimHash shingle hash is a polynomial rolling hash mod 2^61−1
+# (functions/minhash.py:_shingle_hashes) chosen precisely so DuckDB can
+# recompute it: h(g) = Σ_j ord(g[j])·257^(len(g)−j) — every intermediate fits
+# UBIGINT exactly. Permutation constants (a,b mod 2^31−1) are embedded below
+# as literals from the same seeded generator the UDF uses.
+
+
+def _minhash_perm_literals(num_perm: int = 64, seed: int = 42) -> tuple[str, str]:
+    from sql_identity_resolution_spark.functions.minhash import _perm_params
+
+    a, b = _perm_params(num_perm, seed)
+    return (
+        "[" + ",".join(str(int(x)) for x in a) + "]",
+        "[" + ",".join(str(int(x)) for x in b) + "]",
+    )
+
+
+_POLY_SQL = (
+    "(list_sum([ord(substring(g, j, 1))::UBIGINT * (257::UBIGINT ** (len(g)-j))::UBIGINT "
+    "FOR j IN range(1, len(g)+1)]) % 2305843009213693951)::UBIGINT"
+)
+
+
+def _shingle_sql(k: int) -> str:
+    """Char k-shingles of normalized text (whole text when shorter than k) —
+    mirrors minhash._shingle_hashes exactly."""
+    return f"""
+      SELECT doc_id, UNNEST(CASE WHEN len(t) <= {k} THEN [t]
+             ELSE [substring(t, i, {k}) FOR i IN range(1, len(t)-{k}+2)] END) AS g
+      FROM norm WHERE len(t) > 0
+    """
+
+
+_MH_A_SQL, _MH_B_SQL = _minhash_perm_literals(64, 42)
+
+_MINHASH_ORACLE = f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL.format(c='text')} AS t FROM documents),
+    sh AS ({_shingle_sql(5)}),
+    hs AS (SELECT DISTINCT doc_id, ({_POLY_SQL}) % 2147483647 AS h FROM sh),
+    sigs AS (
+      SELECT doc_id, p.i AS i,
+             MIN((({_MH_A_SQL})[p.i+1]::UBIGINT * h + ({_MH_B_SQL})[p.i+1]::UBIGINT) % 2147483647) AS s
+      FROM hs, (SELECT UNNEST(range(64)) AS i) p
+      GROUP BY doc_id, p.i
+    ),
+    keyed AS (
+      SELECT doc_id, ((i // 4)::VARCHAR || ':' || string_agg(s::VARCHAR, '-' ORDER BY i)) AS band_key
+      FROM sigs GROUP BY doc_id, i // 4
+    ),
+    ok AS (SELECT band_key FROM keyed GROUP BY band_key HAVING COUNT(*) >= 2 AND COUNT(*) <= 1000),
+    sm AS (SELECT k.doc_id, k.band_key FROM keyed k JOIN ok USING (band_key))
+    SELECT a.doc_id AS left_doc_id, b.doc_id AS right_doc_id, COUNT(*) AS n_shared_bands
+    FROM sm a JOIN sm b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+"""
+
+_SH_A_SQL, _SH_B_SQL = _minhash_perm_literals(64, 7)  # simhash bit-hash seed
+
+_SIMHASH_ORACLE = f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL.format(c='text')} AS t FROM documents),
+    sh AS ({_shingle_sql(4)}),
+    hs AS (SELECT doc_id, ({_POLY_SQL}) % 2147483647 AS h FROM sh),
+    bits AS (
+      SELECT doc_id, b.j AS j,
+             SUM(CASE WHEN ((({_SH_A_SQL})[b.j+1]::UBIGINT * h + ({_SH_B_SQL})[b.j+1]::UBIGINT)
+                            % 2147483647) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM hs, (SELECT UNNEST(range(64)) AS j) b
+      GROUP BY doc_id, b.j
+    ),
+    uns AS (
+      SELECT doc_id, SUM(CASE WHEN vote > 0 THEN (2::HUGEINT ** j)::HUGEINT ELSE 0::HUGEINT END) AS u
+      FROM bits GROUP BY doc_id
+    ),
+    sigs AS (
+      SELECT d.doc_id, COALESCE(u.u, 0::HUGEINT) AS u,
+             CASE WHEN COALESCE(u.u, 0::HUGEINT) >= 9223372036854775808::HUGEINT
+                  THEN (COALESCE(u.u, 0::HUGEINT) - 18446744073709551616::HUGEINT)::BIGINT
+                  ELSE COALESCE(u.u, 0::HUGEINT)::BIGINT END AS sig
+      FROM documents d LEFT JOIN uns u USING (doc_id)
+    ),
+    chunks AS (
+      SELECT doc_id, sig, '0:' || (u % 65536)::VARCHAR AS ck FROM sigs
+      UNION ALL SELECT doc_id, sig, '1:' || ((u // 65536) % 65536)::VARCHAR FROM sigs
+      UNION ALL SELECT doc_id, sig, '2:' || ((u // 4294967296) % 65536)::VARCHAR FROM sigs
+      UNION ALL SELECT doc_id, sig, '3:' || ((u // 281474976710656) % 65536)::VARCHAR FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS left_doc_id, b.doc_id AS right_doc_id, a.sig AS lsig, b.sig AS rsig
+      FROM chunks a JOIN chunks b ON a.ck = b.ck AND a.doc_id < b.doc_id
+    )
+    SELECT left_doc_id, right_doc_id, bit_count(xor(lsig, rsig))::INTEGER AS hamming
+    FROM cand WHERE bit_count(xor(lsig, rsig)) <= 3
+"""
+
+
+def _hyperplane_literals(n_planes: int = 8, dim: int = 64, seed: int = 42) -> list[str]:
+    """The same deterministic planes embedding_cosine_duplicates builds at
+    plan time (numpy RandomState(seed)), as SQL double-literal arrays.
+    repr() gives shortest-round-trip decimals ⇒ DuckDB parses the identical
+    doubles. dim matches the driver testdata embeddings (64)."""
+    import numpy as np
+
+    planes = np.random.RandomState(seed).standard_normal((n_planes, dim))
+    return ["[" + ",".join(repr(float(x)) for x in row) + "]" for row in planes]
+
+
+def _embedding_cosine_oracle(threshold: float = 0.95) -> str:
+    planes = _hyperplane_literals()
+    bucket = " || ".join(
+        f"(CASE WHEN list_dot_product(v, {p}) >= 0 THEN '1' ELSE '0' END)" for p in planes
+    )
+    return f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {bucket} AS bucket FROM v),
+        ok AS (SELECT bucket FROM b GROUP BY bucket HAVING COUNT(*) >= 2),
+        sm AS (SELECT b.* FROM b JOIN ok USING (bucket)),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS left_vec_id, b2.vec_id AS right_vec_id
+          FROM sm a JOIN sm b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+        ),
+        scored AS (
+          SELECT c.left_vec_id, c.right_vec_id,
+                 ROUND(list_dot_product(l.v, r.v)
+                       / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6) AS cosine
+          FROM cand c
+          JOIN v l ON l.vec_id = c.left_vec_id
+          JOIN v r ON r.vec_id = c.right_vec_id
+        )
+        SELECT left_vec_id, right_vec_id, cosine FROM scored WHERE cosine >= {threshold}
+    """
+
+
+_IVF_ORACLE = """
+    WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+    seeds AS (
+      SELECT cid AS cell_id, cv AS cent
+      FROM (SELECT cid, cv, sha256(cid::VARCHAR) AS h FROM c ORDER BY h LIMIT 16)
+    ),
+    sa AS (
+      SELECT cid, cv, cell_id FROM (
+        SELECT c.cid, c.cv, s.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY c.cid
+                 ORDER BY list_cosine_similarity(c.cv, s.cent) DESC, s.cell_id ASC) AS rn
+        FROM c CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ),
+    comp AS (
+      SELECT cell_id, p.i AS pos, ROUND(AVG(cv[p.i+1]), 6) AS m
+      FROM sa, (SELECT UNNEST(range(64)) AS i) p
+      GROUP BY cell_id, p.i
+    ),
+    cents AS (SELECT cell_id, list(m ORDER BY pos) AS cent FROM comp GROUP BY cell_id),
+    asg AS (
+      SELECT cid, cv, cell_id FROM (
+        SELECT c.cid, c.cv, ct.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY c.cid
+                 ORDER BY list_cosine_similarity(c.cv, ct.cent) DESC, ct.cell_id ASC) AS rn
+        FROM c CROSS JOIN cents ct
+      ) WHERE rn <= 2
+    ),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 50 = 0),
+    probes AS (
+      SELECT query_id, qv, cell_id FROM (
+        SELECT q.query_id, q.qv, ct.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(q.qv, ct.cent) DESC, ct.cell_id ASC) AS rn
+        FROM q CROSS JOIN cents ct
+      ) WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT DISTINCT p.query_id, a.cid AS neighbor_id,
+             ROUND(list_cosine_similarity(a.cv, p.qv), 6) AS cosine
+      FROM probes p JOIN asg a USING (cell_id)
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+# synthetic media (operators/multimodal.py:synthetic_media): payload = md5
+# chain keyed by (media_id, block); feat_mean = exact byte mean; content hash
+# over the hex encoding — all regenerable in SQL from range(64) alone.
+_MULTIMODAL_ORACLE = """
+    WITH m AS (
+      SELECT i AS media_id,
+             CASE (i % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             (256 + (i % 7) * 64)::INTEGER AS n_bytes
+      FROM (SELECT UNNEST(range(64)) AS i)
+    ),
+    blk AS (SELECT media_id, kind, n_bytes, UNNEST(range(n_bytes // 16)) AS j FROM m),
+    hx AS (
+      SELECT media_id, kind, n_bytes, j, md5(media_id::VARCHAR || ':' || j::VARCHAR) AS h
+      FROM blk
+    ),
+    pay AS (
+      SELECT media_id, kind, n_bytes, string_agg(h, '' ORDER BY j) AS hexpayload
+      FROM hx GROUP BY 1, 2, 3
+    )
+    SELECT media_id, kind, n_bytes,
+           sha256(hexpayload) AS payload_sha256,
+           list_sum([('0x' || substring(hexpayload, 2*b+1, 2))::INT FOR b IN range(0, n_bytes)])::DOUBLE
+             / n_bytes AS feat_mean
+    FROM pay
+"""
+
+_VIDEO_FRAME_ORACLE = """
+    WITH m AS (
+      SELECT i AS media_id, 1000 * (1 + (i % 30)) AS duration_ms
+      FROM (SELECT UNNEST(range(64)) AS i) WHERE (i % 3) = 2
+    )
+    SELECT media_id, UNNEST(range(0, duration_ms, 5000))::INTEGER AS frame_ts_ms FROM m
+"""
+
+ORACLES_TRAINING["dedup_minhash_lsh"] = _MINHASH_ORACLE
+ORACLES_TRAINING["dedup_simhash"] = _SIMHASH_ORACLE
+ORACLES_TRAINING["dedup_embedding_cosine"] = _embedding_cosine_oracle(0.95)
+ORACLES_TRAINING["ann_ivf_topk"] = _IVF_ORACLE
+ORACLES_TRAINING["multimodal_features"] = _MULTIMODAL_ORACLE
+ORACLES_TRAINING["video_frame_plan"] = _VIDEO_FRAME_ORACLE
 
 QUERIES = {
     "watermark_delta_scan": q_watermark_delta_scan,

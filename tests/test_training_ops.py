@@ -115,7 +115,9 @@ def test_ann_ivf_recall(spark):
         len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q]) for q in exact_sets
     ]
     mean_recall = sum(recalls) / len(recalls)
-    assert mean_recall >= 0.5, f"IVF mean recall {mean_recall:.2f} too low"
+    # bar raised from 0.5 (round-1 verdict: "would pass a nearly-useless
+    # index") — refined centroids + 2-cell redundant assignment reach ≥0.9
+    assert mean_recall >= 0.9, f"IVF mean recall {mean_recall:.2f} too low"
 
 
 def test_language_id_on_real_phrases(spark, tmp_path):
