@@ -32,6 +32,7 @@ class SourceTable:
     watermark_column: str
     path: Optional[str] = None
     reader: Optional[Callable[[SparkSession], DataFrame]] = None
+    delta_reader: Optional[Callable[[SparkSession, object], DataFrame]] = None
     watermark_lookback_minutes: int = 0
     is_active: bool = True
 
@@ -41,6 +42,20 @@ class SourceTable:
         if self.path is None:
             raise ValueError(f"source_table {self.table_id}: need path or reader")
         return spark.read.parquet(self.path)
+
+    def load_delta(self, spark: SparkSession, since) -> DataFrame:
+        """Entity rows whose watermark ≥ ``since`` — the INCR unit of work.
+
+        Derived sources (e.g. transcripts signatures) supply ``delta_reader``
+        so the expensive derivation runs ONLY over delta entities instead of
+        being recomputed corpus-wide and filtered after (the filter would
+        prune the UDF but not the corpus-wide aggregation feeding it). Plain
+        tables get a pushed-down watermark predicate."""
+        from pyspark.sql import functions as F
+
+        if self.delta_reader is not None:
+            return self.delta_reader(spark, since)
+        return self.load(spark).filter(F.col(self.watermark_column) >= F.lit(since))
 
 
 @dataclass

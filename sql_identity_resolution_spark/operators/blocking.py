@@ -66,18 +66,37 @@ def group_sizes(members: DataFrame, sample_n: int = 5) -> DataFrame:
     streams sorted rows and keeps only N, so a 10⁸-member hot key costs a
     disk sort, not an executor OOM. Both aggs share the block-key exchange.
     """
-    stats = members.groupBy(*BLOCK_KEY).agg(
+    return group_stats(members).join(sample_keys_for(members, None, sample_n), BLOCK_KEY, "left")
+
+
+def group_stats(members: DataFrame) -> DataFrame:
+    """count + MIN anchor per block key — ONE map-side-combining hash agg, no
+    sort. This is the pipeline's hot-path form; the audit sample is computed
+    separately for just the (tiny) skipped-group set."""
+    return members.groupBy(*BLOCK_KEY).agg(
         F.count(F.lit(1)).alias("group_size"),
         F.min("entity_key").alias("anchor_entity_key"),
     )
+
+
+def sample_keys_for(
+    members: DataFrame, block_keys: DataFrame | None, sample_n: int = 5
+) -> DataFrame:
+    """First-N sorted member keys per block, for the given block keys only
+    (``None`` = all blocks — driver-query parity path). The row_number window
+    streams an external sort and keeps N rows per key — bounded memory even on
+    a degenerate block; semi-joining to the skipped set first means the
+    pipeline only ever sorts the handful of blocks it is about to audit."""
+    sliced = members
+    if block_keys is not None:
+        sliced = members.join(block_keys.select(*BLOCK_KEY), BLOCK_KEY, "left_semi")
     w = Window.partitionBy(*BLOCK_KEY).orderBy("entity_key")
-    sample = (
-        members.withColumn("_rn", F.row_number().over(w))
+    return (
+        sliced.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= sample_n)
         .groupBy(*BLOCK_KEY)
         .agg(F.sort_array(F.collect_list("entity_key")).alias("sample_keys"))
     )
-    return stats.join(sample, BLOCK_KEY, "left")
 
 
 def _rules_df(spark: SparkSession, cfg: EngineConfig) -> DataFrame:
@@ -92,26 +111,37 @@ def _rules_df(spark: SparkSession, cfg: EngineConfig) -> DataFrame:
 
 
 def split_by_group_size(
-    spark: SparkSession, cfg: EngineConfig, sizes: DataFrame, run_id: str
+    spark: SparkSession,
+    cfg: EngineConfig,
+    sizes: DataFrame,
+    run_id: str,
+    members: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(valid_groups, skipped_audit_rows). Groups above the rule's
     max_group_size are excluded from edge building and logged
-    (idr_run.py:313-355; reason EXCEEDED_MAX_GROUP_SIZE)."""
+    (idr_run.py:313-355; reason EXCEEDED_MAX_GROUP_SIZE).
+
+    Audit sample keys: taken from a ``sample_keys`` column when ``sizes``
+    carries one, else computed on demand from ``members`` for the skipped
+    blocks ONLY (the valid 99.99% never pay the sample sort)."""
     rules = F.broadcast(_rules_df(spark, cfg))
     joined = sizes.join(rules, "identifier_type", "inner")
     valid = joined.filter(F.col("group_size") <= F.col("max_group_size"))
-    skipped = (
-        joined.filter(F.col("group_size") > F.col("max_group_size"))
-        .select(
-            F.lit(run_id).alias("run_id"),
-            "identifier_type",
-            "identifier_value_norm",
-            "group_size",
-            F.col("max_group_size").alias("max_allowed"),
-            F.col("sample_keys").cast("string").alias("sample_entity_keys"),
-            F.lit("EXCEEDED_MAX_GROUP_SIZE").alias("reason"),
-            F.current_timestamp().alias("skipped_at"),
-        )
+    over = joined.filter(F.col("group_size") > F.col("max_group_size"))
+    if "sample_keys" not in sizes.columns:
+        if members is not None:
+            over = over.join(sample_keys_for(members, over), BLOCK_KEY, "left")
+        else:
+            over = over.withColumn("sample_keys", F.lit(None).cast("array<string>"))
+    skipped = over.select(
+        F.lit(run_id).alias("run_id"),
+        "identifier_type",
+        "identifier_value_norm",
+        "group_size",
+        F.col("max_group_size").alias("max_allowed"),
+        F.col("sample_keys").cast("string").alias("sample_entity_keys"),
+        F.lit("EXCEEDED_MAX_GROUP_SIZE").alias("reason"),
+        F.current_timestamp().alias("skipped_at"),
     )
     return valid, skipped
 

@@ -26,15 +26,37 @@ def entity_key_col(table_id: str, key_expr: str) -> F.Column:
     return F.concat_ws(":", F.lit(table_id), F.expr(key_expr).cast("string"))
 
 
-def load_sources(spark: SparkSession, cfg: EngineConfig) -> dict[str, DataFrame]:
+def load_sources(
+    spark: SparkSession,
+    cfg: EngineConfig,
+    mode: str = "FULL",
+    last_watermarks: dict[str, datetime | None] | None = None,
+) -> dict[str, DataFrame]:
     """Load every active source ONCE per run and lazily checkpoint it: derived
     sources (e.g. the transcripts signature view with its MinHash UDF) are
     consumed by 4+ downstream stages — without this each stage would recompute
-    the whole signature build."""
+    the whole signature build.
+
+    INCR with a known watermark loads ONLY the delta slice
+    (``SourceTable.load_delta``): combined with the catalog identifier/text/
+    attribute stores, per-run cost scales with the delta, not the corpus —
+    the reference re-derives identifiers_all over full sources every run
+    (idr_run.py:216-243), affordable there because its extract is a cheap
+    projection; ours carries a signature build."""
+    last_watermarks = last_watermarks or {}
     out: dict[str, DataFrame] = {}
     for st in cfg.sources:
-        if st.is_active:
-            out[st.table_id] = st.load(spark).localCheckpoint(eager=False)
+        if not st.is_active:
+            continue
+        df = None
+        if mode != "FULL":
+            last = last_watermarks.get(st.table_id)
+            if last is not None:
+                bound = last - timedelta(minutes=st.watermark_lookback_minutes or 0)
+                df = st.load_delta(spark, bound)
+        if df is None:
+            df = st.load(spark)
+        out[st.table_id] = df.localCheckpoint(eager=False)
     return out
 
 

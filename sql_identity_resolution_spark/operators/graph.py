@@ -263,9 +263,42 @@ def connected_components(
             )
             if probe.converged:
                 return probe
-            star = alternating_star(nodes, edges, max_iters=max(max_iters, 50), checkpoint_every=checkpoint_every)
+            # the probe is never wasted: after k hash-min rounds every node
+            # carries the min key within k hops — a valid partial CONTRACTION.
+            # Escalate star on the contracted graph (nodes = partial labels,
+            # usually a small fraction of the original) and compose the maps.
+            # Correct because a component's min node always keeps label=self
+            # under hash-min, so representatives preserve the component min.
+            plabels = probe.labels  # (entity_key, label), already checkpointed
+            cedges = (
+                edges.join(
+                    plabels.withColumnRenamed("entity_key", "left_entity_key")
+                    .withColumnRenamed("label", "_ll"),
+                    "left_entity_key",
+                )
+                .join(
+                    plabels.withColumnRenamed("entity_key", "right_entity_key")
+                    .withColumnRenamed("label", "_rl"),
+                    "right_entity_key",
+                )
+                .filter(F.col("_ll") != F.col("_rl"))
+                .select(F.col("_ll").alias("left_entity_key"), F.col("_rl").alias("right_entity_key"))
+                .distinct()
+            )
+            cnodes = plabels.select(F.col("label").alias("entity_key")).distinct()
+            star = alternating_star(
+                cnodes, cedges, max_iters=max(max_iters, 50), checkpoint_every=checkpoint_every
+            )
+            final = (
+                plabels.join(
+                    star.labels.withColumnRenamed("label", "_final")
+                    .withColumnRenamed("entity_key", "label"),
+                    "label",
+                )
+                .select("entity_key", F.col("_final").alias("label"))
+            )
             return CCResult(
-                labels=star.labels,
+                labels=final,
                 iterations=probe.iterations + star.iterations,
                 converged=star.converged,
             )

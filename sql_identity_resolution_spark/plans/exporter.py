@@ -36,6 +36,109 @@ def export_prometheus(catalog: Catalog, run_id: str | None = None) -> str:
     return "\n".join(lines) + "\n"
 
 
+def _metric_dicts(catalog: Catalog, run_id: str | None) -> list[dict]:
+    df = catalog.read("metrics_export")
+    if run_id:
+        df = df.filter(F.col("run_id") == run_id)
+    rows = [r.asDict() for r in df.collect()]
+    for r in rows:
+        r["exported_at"] = str(r.get("exported_at"))
+    return rows
+
+
+def export_webhook(
+    catalog: Catalog,
+    url: str,
+    run_id: str | None = None,
+    headers: dict | None = None,
+    timeout: int = 30,
+    post=None,
+) -> dict:
+    """HTTP-push exporter ≙ the reference WebhookPlugin
+    (tools/metrics_exporter.py:117-149): POST one JSON payload
+    ``{timestamp, metrics_count, metrics:[...]}``. ``post`` is injectable for
+    tests / custom transports; the default uses stdlib urllib (the sandbox has
+    no ``requests``). Returns the payload with ``ok`` set from the transport."""
+    import json as _json
+    from datetime import datetime, timezone
+
+    rows = _metric_dicts(catalog, run_id)
+    payload = {
+        "timestamp": datetime.now(timezone.utc).isoformat(),
+        "metrics_count": len(rows),
+        "metrics": rows,
+    }
+    if post is None:
+
+        def post(u, body, hdrs):  # pragma: no cover - network path
+            import urllib.request
+
+            req = urllib.request.Request(
+                u, data=body.encode("utf-8"), headers=hdrs or {"Content-Type": "application/json"}
+            )
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                return 200 <= resp.status < 300
+
+    try:
+        ok = bool(post(url, _json.dumps(payload), headers or {"Content-Type": "application/json"}))
+    except Exception as e:
+        print(f"[ERROR] webhook export failed: {e}")
+        ok = False
+    return {**payload, "ok": ok}
+
+
+def export_datadog(
+    catalog: Catalog,
+    api_key: str | None = None,
+    run_id: str | None = None,
+    post=None,
+) -> dict:
+    """DataDog series exporter ≙ the reference DataDogPlugin
+    (tools/metrics_exporter.py:199-250): one ``{'series': [...]}`` POST with
+    ``run_id:<id>`` tags, gauge/count typing from metric_type. API key from
+    the argument or ``DD_API_KEY``; ``post`` injectable for tests."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    key = api_key or _os.environ.get("DD_API_KEY")
+    if not key:
+        raise ValueError("DataDog API key required: pass api_key or set DD_API_KEY")
+    rows = _metric_dicts(catalog, run_id)
+    now = int(_time.time())
+    series = [
+        {
+            "metric": r["metric_name"],
+            "points": [[now, r["metric_value"]]],
+            "type": "gauge" if r["metric_type"] == "gauge" else "count",
+            "tags": [f"run_id:{r['run_id']}"],
+        }
+        for r in rows
+    ]
+    payload = {"series": series}
+    if post is None:
+
+        def post(u, body, hdrs):  # pragma: no cover - network path
+            import urllib.request
+
+            req = urllib.request.Request(u, data=body.encode("utf-8"), headers=hdrs)
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                return 200 <= resp.status < 300
+
+    try:
+        ok = bool(
+            post(
+                "https://api.datadoghq.com/api/v1/series",
+                _json.dumps(payload),
+                {"Content-Type": "application/json", "DD-API-KEY": key},
+            )
+        )
+    except Exception as e:
+        print(f"[ERROR] datadog export failed: {e}")
+        ok = False
+    return {**payload, "ok": ok}
+
+
 def monitoring_views(catalog: Catalog) -> dict:
     """≙ sql/common/monitoring_views.sql: cluster-size distribution, recent
     runs, stage timings — returned as DataFrames (saved queries)."""

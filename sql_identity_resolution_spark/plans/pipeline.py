@@ -49,6 +49,12 @@ T_DRY_SUMMARY = "dry_run_summary"
 T_METRICS = "metrics_export"
 T_LINEAGE = "partition_lineage"
 T_IDENTIFIER_QUALITY = "identifier_quality"
+# incremental stores: per-entity derived artifacts maintained by delta MERGE so
+# an INCR run never recomputes them corpus-wide (extract/signature-build cost
+# ∝ delta). All three are bucketed on entity_key ⇒ O(delta·buckets) rewrites.
+T_IDENTIFIERS = "identifiers_current"
+T_ENTITY_TEXTS = "entity_texts_current"
+T_ENTITY_ATTRS = "entity_attributes_current"
 
 _EDGE_SCHEMA = (
     "rule_id string, left_entity_key string, right_entity_key string, "
@@ -145,6 +151,40 @@ class IDRPipeline:
             out = out.unionByName(p)
         return out
 
+    def _maintain_store(
+        self,
+        name: str,
+        delta_df,
+        keys: list[str],
+        bucket_col: str,
+        mode: str,
+        dry_run: bool,
+        full_df_fn,
+        delta_is_full: bool = False,
+    ) -> DataFrame:
+        """Delta-maintained per-entity store. When the delta IS the full set
+        (FULL mode, or INCR with no prior watermark) the store is overwritten
+        (bucketed); otherwise delta entities' rows are replaced via bucketed
+        delete+insert. Returns the post-merge VIEW immediately; the actual
+        commit is DEFERRED to the output_write stage (``_pending_stores``) so
+        the hot extract/edge stages never pay store IO — resume stays correct
+        because run_state advances after the stores commit (an interrupted run
+        re-derives the same delta and re-merges idempotently). dry_run never
+        enqueues a commit."""
+        cat = self.catalog
+        if mode == "FULL" or delta_is_full or not cat.exists(name):
+            full_df = delta_df if (mode == "FULL" or delta_is_full) else full_df_fn()
+            if not dry_run:
+                self._pending_stores.append((name, "overwrite", full_df, keys, bucket_col))
+            return full_df
+        prior = cat.read(name)
+        view = prior.join(delta_df.select(*keys).distinct(), keys, "left_anti").unionByName(
+            delta_df.select(*prior.columns)
+        )
+        if not dry_run:
+            self._pending_stores.append((name, "delete_insert", delta_df, keys, bucket_col))
+        return view
+
     # ------------------------------------------------------------------- run
     def run(self, mode: str = "FULL", dry_run: bool = False, run_id: str | None = None) -> RunResult:
         spark, cfg, cat = self.spark, self.cfg, self.catalog
@@ -154,6 +194,7 @@ class IDRPipeline:
         res = RunResult(run_id=run_id, mode=mode, dry_run=dry_run)
         t0 = time.time()
         stage_rows: list[tuple] = []
+        self._pending_stores: list[tuple] = []
 
         def stage(name):
             class _S:
@@ -175,8 +216,12 @@ class IDRPipeline:
         run_state = cat.read(T_RUN_STATE, schema_str(_RUN_STATE_SCHEMA, spark))
         last_wm = {r["table_id"]: r["last_watermark_value"] for r in run_state.collect()}
 
-        # load each source exactly once (derived sources are expensive)
-        loaded = extract.load_sources(spark, cfg)
+        # load each source exactly once (derived sources are expensive);
+        # INCR loads only the delta slice — the stores supply the rest
+        loaded = extract.load_sources(spark, cfg, mode, last_wm)
+        delta_is_full = mode == "FULL" or not any(
+            last_wm.get(st.table_id) is not None for st in cfg.sources if st.is_active
+        )
 
         # -------- entities delta (stage 10)
         with stage("entity_extraction") as s:
@@ -185,29 +230,49 @@ class IDRPipeline:
             res.entities_processed = entities_delta.count()
             s.rows(res.entities_processed)
 
-        # -------- identifiers (stage 11) + exclusions
+        # -------- identifiers (stage 11) + exclusions + identifier store
         with stage("identifier_extraction") as s:
-            identifiers_all = extract.extract_identifiers(spark, cfg, mode, last_wm, loaded)
+            identifiers_delta = extract.extract_identifiers(spark, cfg, mode, last_wm, loaded)
             # excluded-count via Observation on the anti-join INPUT: one
-            # extraction job total — a second identifiers_all.count() would
-            # re-run the whole (UDF-bearing) extraction just for a metric.
+            # extraction job total — a second count() would re-run the whole
+            # (UDF-bearing) extraction just for a metric. In INCR this counts
+            # the delta slice (the only rows extracted this run).
             excl_obs = None
             if cfg.exclusions:
                 from pyspark.sql import Observation
 
                 excl_obs = Observation("exclusion_input")
-                identifiers_all = identifiers_all.observe(
+                identifiers_delta = identifiers_delta.observe(
                     excl_obs, F.count(F.lit(1)).alias("n_input")
                 )
-            identifiers_filtered = extract.apply_exclusions(spark, identifiers_all, cfg)
-            identifiers_filtered = identifiers_filtered.localCheckpoint(eager=True)
-            res.identifiers_extracted = identifiers_filtered.count()
+            identifiers_delta = extract.apply_exclusions(spark, identifiers_delta, cfg)
+            identifiers_delta = identifiers_delta.localCheckpoint(eager=True)
+            n_delta_ids = identifiers_delta.count()
             if excl_obs is not None:
-                res.values_excluded = excl_obs.get["n_input"] - res.identifiers_extracted
+                res.values_excluded = excl_obs.get["n_input"] - n_delta_ids
                 if res.values_excluded:
                     res.warnings.append(
                         f"{res.values_excluded} identifier values excluded (matched exclusion list)"
                     )
+            # store maintenance: FULL overwrites; INCR replaces only delta
+            # entities' rows (delete+insert on entity key, bucketed) — the
+            # blocking join below consumes the FULL store without ever
+            # re-deriving identifiers for unchanged entities.
+            identifiers_filtered = self._maintain_store(
+                T_IDENTIFIERS,
+                identifiers_delta,
+                keys=["table_id", "entity_key"],
+                bucket_col="entity_key",
+                mode=mode,
+                dry_run=dry_run,
+                    delta_is_full=delta_is_full,
+                full_df_fn=lambda: extract.apply_exclusions(
+                    spark,
+                    extract.extract_identifiers(spark, cfg, "FULL", {}, extract.load_sources(spark, cfg)),
+                    cfg,
+                ),
+            )
+            res.identifiers_extracted = identifiers_filtered.count()
             s.rows(res.identifiers_extracted)
 
         # -------- edges (stage 20)
@@ -220,8 +285,8 @@ class IDRPipeline:
             # anchor_edges and candidate_pairs all consume members on this key
             # and reuse the exchange instead of recomputing the blocking join
             members = members.repartition(*blocking.BLOCK_KEY).localCheckpoint(eager=True)
-            sizes = blocking.group_sizes(members).localCheckpoint(eager=True)
-            valid, skipped = blocking.split_by_group_size(spark, cfg, sizes, run_id)
+            sizes = blocking.group_stats(members).localCheckpoint(eager=True)
+            valid, skipped = blocking.split_by_group_size(spark, cfg, sizes, run_id, members=members)
             skipped = skipped.localCheckpoint(eager=True)
             res.groups_skipped = skipped.count()
             if res.groups_skipped:
@@ -235,9 +300,21 @@ class IDRPipeline:
             scored_pairs = None
             has_scored = any(r.match_strategy == "SCORED" for r in cfg.active_rules())
             if has_scored:
-                texts = self._entity_texts(loaded)
-                if texts is None:
+                texts_delta = self._entity_texts(loaded)
+                if texts_delta is None:
                     raise ValueError("SCORED rules configured but no source exposes match_text")
+                # candidate pairs reference EXISTING members of delta blocks —
+                # their match_text comes from the store, not a corpus re-read
+                texts = self._maintain_store(
+                    T_ENTITY_TEXTS,
+                    texts_delta,
+                    keys=["entity_key"],
+                    bucket_col="entity_key",
+                    mode=mode,
+                    dry_run=dry_run,
+                    delta_is_full=delta_is_full,
+                    full_df_fn=lambda: self._entity_texts(extract.load_sources(spark, cfg)),
+                )
                 pairs = blocking.candidate_pairs(valid, members, salt_buckets=cfg.salt_buckets)
                 scorer_names = sorted(
                     {r.scorer for r in cfg.active_rules() if r.match_strategy == "SCORED"}
@@ -260,7 +337,7 @@ class IDRPipeline:
         ]
         edges_schema = schema_str(_EDGE_SCHEMA, spark)
         if mode == "FULL" and not dry_run:
-            cat.overwrite(T_EDGES, edges_new)
+            cat.overwrite(T_EDGES, edges_new, bucket_col="left_entity_key")
             edges_current = cat.read(T_EDGES)
         elif dry_run:
             prior = cat.read(T_EDGES, edges_schema)
@@ -269,7 +346,10 @@ class IDRPipeline:
             else:
                 edges_current = prior.unionByName(edges_new).dropDuplicates(edge_keys)
         else:
-            cat.merge_upsert(T_EDGES, edges_new, keys=edge_keys, update_cols=["last_seen_ts"])
+            cat.merge_upsert(
+                T_EDGES, edges_new, keys=edge_keys, update_cols=["last_seen_ts"],
+                bucket_col="left_entity_key",
+            )
             edges_current = cat.read(T_EDGES)
 
         # -------- subgraph + connected components (stages 30/31)
@@ -324,9 +404,9 @@ class IDRPipeline:
             updates = updates.localCheckpoint(eager=True)
             if not dry_run:
                 if mode == "FULL":
-                    cat.overwrite(T_MEMBERSHIP, updates)
+                    cat.overwrite(T_MEMBERSHIP, updates, bucket_col="entity_key")
                 else:
-                    cat.merge_upsert(T_MEMBERSHIP, updates, keys=["entity_key"])
+                    cat.merge_upsert(T_MEMBERSHIP, updates, keys=["entity_key"], bucket_col="entity_key")
                 membership_view = cat.read(T_MEMBERSHIP)
             else:
                 membership_view = updates
@@ -337,23 +417,37 @@ class IDRPipeline:
             res.clusters_impacted = conf.count()
             if not dry_run:
                 if mode == "FULL":
-                    cat.overwrite(T_CLUSTERS, conf)
+                    cat.overwrite(T_CLUSTERS, conf, bucket_col="resolved_id")
                 else:
-                    cat.delete_insert(T_CLUSTERS, conf, keys=["resolved_id"])
+                    cat.delete_insert(T_CLUSTERS, conf, keys=["resolved_id"], bucket_col="resolved_id")
             s.rows(res.clusters_impacted)
 
         # -------- golden profile (stage 50)
         with stage("golden_profile") as s:
             if cfg.attributes:
-                entities_all = golden.build_entities_all(spark, cfg, loaded)
+                attrs_delta = golden.build_entities_all(spark, cfg, loaded)
+                # survivorship ranks ALL members of impacted clusters — old
+                # members' attributes come from the store (delta-maintained)
+                entities_all = self._maintain_store(
+                    T_ENTITY_ATTRS,
+                    attrs_delta,
+                    keys=["entity_key", "table_id"],
+                    bucket_col="entity_key",
+                    mode=mode,
+                    dry_run=dry_run,
+                    delta_is_full=delta_is_full,
+                    full_df_fn=lambda: golden.build_entities_all(
+                        spark, cfg, extract.load_sources(spark, cfg)
+                    ),
+                )
                 gold = golden.golden_updates(spark, cfg, entities_all, membership_view, impacted_ids, run_ts)
                 gold = gold.localCheckpoint(eager=True)
                 n_gold = gold.count()
                 if not dry_run:
                     if mode == "FULL":
-                        cat.overwrite(T_GOLDEN, gold)
+                        cat.overwrite(T_GOLDEN, gold, bucket_col="resolved_id")
                     else:
-                        cat.delete_insert(T_GOLDEN, gold, keys=["resolved_id"])
+                        cat.delete_insert(T_GOLDEN, gold, keys=["resolved_id"], bucket_col="resolved_id")
                 s.rows(n_gold)
 
         # -------- audit + lineage + run_state (stages 60/70)
@@ -420,6 +514,16 @@ class IDRPipeline:
                 )
             lineage = lineage.withColumn("cluster_delta", F.lit(res.clusters_impacted))
             cat.append(T_LINEAGE, lineage)
+
+            # flush deferred store commits BEFORE the watermark advances: an
+            # interrupted flush re-derives and re-merges the same delta next
+            # run (idempotent delete+insert), never losing entities.
+            for st_name, st_op, st_df, st_keys, st_bucket in self._pending_stores:
+                if st_op == "overwrite":
+                    cat.overwrite(st_name, st_df, bucket_col=st_bucket)
+                else:
+                    cat.delete_insert(st_name, st_df, keys=st_keys, bucket_col=st_bucket)
+            self._pending_stores = []
 
             if not dry_run:
                 wm_updates = (

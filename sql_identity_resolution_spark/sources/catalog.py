@@ -16,6 +16,17 @@ backend is a small snapshot-versioned parquet format with the same semantics:
 
 MERGE is emulated declaratively (anti-join + join + union) so Catalyst plans it;
 there is no driver-side row loop anywhere.
+
+Bucketed MERGE (the scale path): pass ``bucket_col`` to ``merge_upsert`` /
+``delete_insert`` / ``overwrite`` and the table is hash-partitioned into
+``n_buckets`` by ``pmod(xxhash64(bucket_col), n)``; a merge rewrites ONLY the
+buckets its source rows hash into — O(delta·buckets) IO instead of O(table)
+per commit (≙ Iceberg bucket-partitioned MERGE with partition pruning). The
+pointer maps each bucket to the version directory that last rewrote it, so
+untouched buckets are shared across snapshots (same idea as Iceberg manifests
+reusing unchanged data files). ``bucket_col`` must be one of (a deterministic
+function of) the merge keys so matching target/source rows land in the same
+bucket.
 """
 
 from __future__ import annotations
@@ -34,11 +45,17 @@ _POINTER = "_CURRENT"
 
 
 class Catalog:
-    def __init__(self, spark: SparkSession, warehouse: str, keep_versions: int = 3):
+    def __init__(
+        self, spark: SparkSession, warehouse: str, keep_versions: int = 3, n_buckets: int = 32
+    ):
         self.spark = spark
         self.warehouse = warehouse
         self.keep_versions = keep_versions
+        self.n_buckets = n_buckets
         os.makedirs(warehouse, exist_ok=True)
+
+    def _bucket_expr(self, bucket_col: str):
+        return F.pmod(F.xxhash64(F.col(bucket_col).cast("string")), F.lit(self.n_buckets)).cast("int")
 
     # ------------------------------------------------------------------ paths
     def _tdir(self, name: str) -> str:
@@ -62,16 +79,37 @@ class Catalog:
         return self.current_version(name) is not None
 
     # ------------------------------------------------------------------- read
-    def read(self, name: str, schema: T.StructType | None = None) -> DataFrame:
+    def _bucket_paths(self, name: str, meta: dict, buckets: list[int] | None = None) -> list[str]:
+        tdir = self._tdir(name)
+        bmap: dict = meta["buckets"]  # {bucket_str: version}
+        items = bmap.items() if buckets is None else ((str(b), bmap[str(b)]) for b in buckets if str(b) in bmap)
+        return [os.path.join(tdir, v, f"_bucket={b}") for b, v in items]
+
+    def read(
+        self, name: str, schema: T.StructType | None = None, buckets: list[int] | None = None
+    ) -> DataFrame:
         """Read the current snapshot; empty DF with ``schema`` if table absent.
-        Append tables are a manifest of immutable part versions — read them all."""
+        Append tables are a manifest of immutable part versions — read them all.
+        Bucketed tables read one path per (selected) bucket — partition
+        pruning: pass ``buckets`` to scan only the touched slices."""
         meta = self._pointer(name)
         if meta is None:
             if schema is None:
                 raise FileNotFoundError(f"table {name} does not exist and no schema given")
             return self.spark.createDataFrame([], schema)
-        parts = meta.get("parts")
         tdir = self._tdir(name)
+        if meta.get("buckets") is not None:
+            paths = self._bucket_paths(name, meta, buckets)
+            if not paths:
+                # empty table or fully-pruned read: schema from the pointer
+                stored = meta.get("schema")
+                if schema is None and stored is not None:
+                    schema = T.StructType.fromJson(stored)
+                if schema is None:
+                    raise FileNotFoundError(f"bucketed table {name} is empty and no schema given")
+                return self.spark.createDataFrame([], schema)
+            return self.spark.read.option("mergeSchema", "false").parquet(*paths)
+        parts = meta.get("parts")
         if parts:
             return self.spark.read.option("mergeSchema", "false").parquet(
                 *[os.path.join(tdir, p) for p in parts]
@@ -93,13 +131,61 @@ class Catalog:
 
     def _vacuum(self, name: str, keep: str) -> None:
         tdir = self._tdir(name)
+        meta = self._pointer(name) or {}
+        referenced = set((meta.get("buckets") or {}).values()) | {keep}
         versions = sorted(d for d in os.listdir(tdir) if d.startswith("v"))
-        excess = [v for v in versions if v != keep][: max(0, len(versions) - self.keep_versions)]
+        excess = [v for v in versions if v not in referenced][
+            : max(0, len(versions) - self.keep_versions)
+        ]
         for v in excess:
             shutil.rmtree(os.path.join(tdir, v), ignore_errors=True)
 
-    def overwrite(self, name: str, df: DataFrame) -> None:
-        self._commit(name, df)
+    def _commit_buckets(
+        self,
+        name: str,
+        df: DataFrame,
+        bucket_col: str,
+        base: dict | None,
+        touched: set[int] | None = None,
+    ) -> None:
+        """Write ``df`` (the full content of its touched buckets) partitioned by
+        bucket into ONE new version dir; pointer maps touched buckets to it,
+        untouched buckets keep their prior version (shared, never rewritten).
+        A touched bucket with no surviving rows is dropped from the map."""
+        tdir = self._tdir(name)
+        os.makedirs(tdir, exist_ok=True)
+        version = f"v{int(time.time() * 1000):016d}_{uuid.uuid4().hex[:6]}"
+        out = os.path.join(tdir, version)
+        df.withColumn("_bucket", self._bucket_expr(bucket_col)).write.mode("overwrite").partitionBy(
+            "_bucket"
+        ).parquet(out)
+        written = {d.split("=", 1)[1] for d in os.listdir(out) if d.startswith("_bucket=")}
+        bmap = dict((base or {}).get("buckets") or {})
+        for b in touched or set():
+            bmap.pop(str(b), None)
+        for b in written:
+            bmap[b] = version
+        tmp = os.path.join(tdir, f".ptr_{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "version": version,
+                    "buckets": bmap,
+                    "bucket_col": bucket_col,
+                    "n_buckets": self.n_buckets,
+                    "schema": df.schema.jsonValue(),
+                    "committed_at": time.time(),
+                },
+                f,
+            )
+        os.replace(tmp, self._pointer_path(name))
+        self._vacuum(name, keep=version)
+
+    def overwrite(self, name: str, df: DataFrame, bucket_col: str | None = None) -> None:
+        if bucket_col is not None:
+            self._commit_buckets(name, df, bucket_col, base=None)
+        else:
+            self._commit(name, df)
 
     def append(self, name: str, df: DataFrame) -> None:
         """Append-only sinks (run_history, stage_metrics, audit, lineage —
@@ -120,12 +206,32 @@ class Catalog:
             json.dump({"version": version, "parts": parts, "committed_at": time.time()}, f)
         os.replace(tmp, self._pointer_path(name))
 
+    def _touched_buckets(self, source: DataFrame, bucket_col: str) -> set[int]:
+        """Distinct buckets the source rows hash into — a ≤n_buckets-row
+        collect (the one legitimate driver-side scalar of a bucketed MERGE,
+        ≙ Iceberg's partition-predicate planning)."""
+        return {
+            r["b"]
+            for r in source.select(self._bucket_expr(bucket_col).alias("b")).distinct().collect()
+        }
+
+    def _merge_target(
+        self, name: str, source: DataFrame, bucket_col: str | None
+    ) -> tuple[DataFrame, dict | None, set[int] | None]:
+        """(target slice to merge against, pointer meta, touched buckets)."""
+        meta = self._pointer(name)
+        if bucket_col is not None and meta and meta.get("buckets") is not None:
+            touched = self._touched_buckets(source, bucket_col)
+            return self.read(name, buckets=sorted(touched)), meta, touched
+        return self.read(name), meta, None
+
     def merge_upsert(
         self,
         name: str,
         source: DataFrame,
         keys: list[str],
         update_cols: list[str] | None = None,
+        bucket_col: str | None = None,
     ) -> None:
         """``MERGE INTO target USING source ON keys WHEN MATCHED THEN UPDATE SET
         update_cols WHEN NOT MATCHED THEN INSERT *`` — the reference's sink
@@ -136,11 +242,19 @@ class Catalog:
         (non-updated cols from target, updated from source); inserted = source
         ⟕anti target. All declarative — one shuffle on ``keys`` shared by the
         three branches.
+
+        ``bucket_col`` (must be among ``keys``, or a deterministic function of
+        them) switches the table to bucketed layout: only the buckets the
+        source touches are read, merged, and rewritten — O(delta·buckets),
+        not O(table), per commit.
         """
         if not self.exists(name):
-            self._commit(name, source)
+            if bucket_col is not None:
+                self._commit_buckets(name, source, bucket_col, base=None)
+            else:
+                self._commit(name, source)
             return
-        target = self.read(name)
+        target, meta, touched = self._merge_target(name, source, bucket_col)
         cols = target.columns
         if update_cols is None:
             update_cols = [c for c in cols if c not in keys]
@@ -152,17 +266,35 @@ class Catalog:
             *[F.col(f"s.{c}" if (c in update_cols or c in keys) else f"t.{c}").alias(c) for c in cols]
         )
         inserted = src.join(target.select(*keys).distinct(), keys, "left_anti")
-        self._commit(name, kept.unionByName(matched).unionByName(inserted))
+        merged = kept.unionByName(matched).unionByName(inserted)
+        self._commit_merged(name, merged, bucket_col, meta, touched)
 
-    def delete_insert(self, name: str, source: DataFrame, keys: list[str]) -> None:
+    def delete_insert(
+        self, name: str, source: DataFrame, keys: list[str], bucket_col: str | None = None
+    ) -> None:
         """DELETE-matching-then-INSERT (reference clusters sink,
-        sql/duckdb/core/idr_run.py:544-552)."""
+        sql/duckdb/core/idr_run.py:544-552). ``bucket_col``: see merge_upsert."""
         if not self.exists(name):
-            self._commit(name, source)
+            if bucket_col is not None:
+                self._commit_buckets(name, source, bucket_col, base=None)
+            else:
+                self._commit(name, source)
             return
-        target = self.read(name)
+        target, meta, touched = self._merge_target(name, source, bucket_col)
         kept = target.join(source.select(*keys).distinct(), keys, "left_anti")
-        self._commit(name, kept.unionByName(source.select(*target.columns)))
+        merged = kept.unionByName(source.select(*target.columns))
+        self._commit_merged(name, merged, bucket_col, meta, touched)
+
+    def _commit_merged(
+        self, name: str, merged: DataFrame, bucket_col: str | None, meta: dict | None, touched
+    ) -> None:
+        if bucket_col is None:
+            self._commit(name, merged)
+        elif touched is None:
+            # table exists in unbucketed layout → one-time full conversion
+            self._commit_buckets(name, merged, bucket_col, base=None)
+        else:
+            self._commit_buckets(name, merged, bucket_col, base=meta, touched=touched)
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self._tdir(name), ignore_errors=True)

@@ -110,11 +110,25 @@ def transcripts_source(
     def reader(spark):
         return conversation_signatures(spark.read.parquet(turns_path), num_perm=num_perm, bands=bands)
 
+    def delta_reader(spark, since):
+        """Signatures for DELTA conversations only: a pushed-down ts predicate
+        finds conv_ids with any new turn, a semi-join pulls those
+        conversations' FULL turn history (a changed conversation re-signs from
+        scratch), and the groupBy + MinHash UDF run over just that slice —
+        INCR cost ∝ delta, not corpus (the catalog identifier store supplies
+        everyone else's signatures)."""
+        turns = spark.read.parquet(turns_path)
+        delta_ids = turns.filter(F.col("ts") >= F.lit(since)).select("conv_id").distinct()
+        return conversation_signatures(
+            turns.join(delta_ids, "conv_id", "left_semi"), num_perm=num_perm, bands=bands
+        )
+
     source = SourceTable(
         table_id=table_id,
         entity_key_expr="conv_id",
         watermark_column="last_ts",
         reader=reader,
+        delta_reader=delta_reader,
     )
     rules = [
         Rule("R_ROLE_TOOL_EXACT", "SIG_ROLE_TOOL", "role:tool sequence exact", priority=1,

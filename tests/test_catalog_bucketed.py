@@ -1,0 +1,141 @@
+"""Bucketed catalog MERGE (O(delta·buckets) rewrites) + the incremental
+identifier/signature store (INCR recomputes signatures ONLY for delta
+conversations)."""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime
+
+import pandas as pd
+import pytest
+
+from sql_identity_resolution_spark.datagen import write_parquet
+from sql_identity_resolution_spark.sources.catalog import Catalog
+
+
+def _mk(spark, rows, schema="k string, v int"):
+    return spark.createDataFrame(rows, schema)
+
+
+def _version_of(cat, name, bucket):
+    meta = json.load(open(os.path.join(cat._tdir(name), "_CURRENT")))
+    return meta["buckets"][str(bucket)]
+
+
+def test_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"), n_buckets=8)
+    base = _mk(spark, [(f"k{i}", i) for i in range(64)])
+    cat.overwrite("t", base, bucket_col="k")
+    meta0 = json.load(open(os.path.join(cat._tdir("t"), "_CURRENT")))
+    assert meta0["n_buckets"] == 8 and len(meta0["buckets"]) == 8
+
+    # upsert ONE key: only that key's bucket may move to a new version
+    cat.merge_upsert("t", _mk(spark, [("k3", 999)]), keys=["k"], bucket_col="k")
+    meta1 = json.load(open(os.path.join(cat._tdir("t"), "_CURRENT")))
+    moved = [b for b in meta1["buckets"] if meta1["buckets"][b] != meta0["buckets"][b]]
+    assert len(moved) == 1, f"expected 1 rewritten bucket, got {moved}"
+    # the new version dir physically contains only the touched bucket
+    new_version_dir = os.path.join(cat._tdir("t"), meta1["version"])
+    subdirs = [d for d in os.listdir(new_version_dir) if d.startswith("_bucket=")]
+    assert subdirs == [f"_bucket={moved[0]}"]
+    # read-back is the correctly merged full table
+    got = {r["k"]: r["v"] for r in cat.read("t").collect()}
+    assert len(got) == 64 and got["k3"] == 999 and got["k5"] == 5
+
+    # delete_insert new keys: again only their buckets rewrite
+    cat.delete_insert("t", _mk(spark, [("k3", 1), ("new1", 100)]), keys=["k"], bucket_col="k")
+    got = {r["k"]: r["v"] for r in cat.read("t").collect()}
+    assert got["k3"] == 1 and got["new1"] == 100 and len(got) == 65
+
+
+def test_bucketed_read_prunes_to_requested_buckets(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"), n_buckets=8)
+    cat.overwrite("t", _mk(spark, [(f"k{i}", i) for i in range(64)]), bucket_col="k")
+    from pyspark.sql import functions as F
+
+    b_of_k3 = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit("k3").cast("string")), F.lit(8)).cast("int").alias("b")
+    ).first()["b"]
+    pruned = cat.read("t", buckets=[b_of_k3])
+    rows = {r["k"] for r in pruned.collect()}
+    assert "k3" in rows and len(rows) < 64  # a single bucket slice
+
+
+def test_unbucketed_table_converts_on_first_bucketed_merge(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"), n_buckets=4)
+    cat.overwrite("t", _mk(spark, [("a", 1), ("b", 2)]))  # legacy flat layout
+    cat.merge_upsert("t", _mk(spark, [("b", 20), ("c", 3)]), keys=["k"], bucket_col="k")
+    meta = json.load(open(os.path.join(cat._tdir("t"), "_CURRENT")))
+    assert meta.get("buckets")  # converted
+    got = {r["k"]: r["v"] for r in cat.read("t").collect()}
+    assert got == {"a": 1, "b": 20, "c": 3}
+
+
+# ---------------------------------------------------------------------------
+# incremental signature store: INCR builds signatures ONLY for delta convs
+
+
+def _turns(rows):
+    return pd.DataFrame(
+        {
+            "conv_id": [r[0] for r in rows],
+            "turn_idx": pd.array([r[1] for r in rows], dtype="int32"),
+            "role": ["user"] * len(rows),
+            "text": [r[2] for r in rows],
+            "tool": pd.Series([None] * len(rows), dtype="string"),
+            "ts": [r[3] for r in rows],
+        }
+    )
+
+
+def test_incr_signature_store_delta_only(spark, tmp_path):
+    from sql_identity_resolution_spark import EngineConfig, IDRPipeline
+    from sql_identity_resolution_spark.sources.transcripts import transcripts_source
+
+    t1, t2, t3 = datetime(2026, 1, 1), datetime(2026, 1, 2), datetime(2026, 2, 1)
+    src = tmp_path / "turns.parquet"
+    base = [
+        ("c1", 0, "alpha beta gamma delta epsilon one", t1),
+        ("c2", 0, "totally different words here entirely two", t2),
+    ]
+    write_parquet(_turns(base), str(src))
+    source, rules, mappings = transcripts_source("chat", str(src))
+
+    # spy on the delta reader: record how many conversations get (re)signed
+    inner_delta = source.delta_reader
+    seen: list[int] = []
+
+    def spying_delta(spark_, since):
+        df = inner_delta(spark_, since)
+        seen.append(df.count())
+        return df
+
+    source.delta_reader = spying_delta
+    cfg = EngineConfig(
+        warehouse=str(tmp_path / "wh"), sources=[source], rules=rules, mappings=mappings
+    )
+    pipe = IDRPipeline(spark, cfg)
+    pipe.run("FULL")
+    store = pipe.catalog.read("identifiers_current")
+    assert store.select("entity_key").distinct().count() == 2
+
+    # c3 arrives (near-dup of c1): INCR must sign ONLY the delta slice —
+    # c3 plus the inclusive-watermark boundary conv c2, NOT the whole corpus
+    write_parquet(_turns(base + [("c3", 0, "alpha beta gamma delta epsilon one", t3)]), str(src))
+    res = pipe.run("INCR")
+    assert seen == [2], f"delta reader signed {seen} conversations, expected [2]"
+    assert res.status.startswith("SUCCESS")
+    m = {
+        r["entity_key"]: r["resolved_id"]
+        for r in pipe.catalog.read("identity_resolved_membership_current").collect()
+    }
+    assert m["chat:c1"] == m["chat:c3"]  # exact-dup signature edge via the store
+    assert m["chat:c2"] != m["chat:c1"]
+    # store now covers all three conversations (c1 untouched, from FULL)
+    store = pipe.catalog.read("identifiers_current")
+    assert store.select("entity_key").distinct().count() == 3
+    # texts store maintained too (SCORED LSH rule needs old members' text)
+    texts = pipe.catalog.read("entity_texts_current")
+    assert texts.count() == 3

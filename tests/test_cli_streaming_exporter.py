@@ -90,6 +90,105 @@ def test_dashboard_generation(spark, crm, tmp_path):
         assert section in page
 
 
+def test_metadata_csv_loader_reference_bundle(spark, tmp_path):
+    """Feed the reference's ACTUAL metadata_samples/*.csv into a run: two of
+    the five configured source tables get synthesized parquet (the others load
+    as inactive — partial-migration mode), then FULL runs end-to-end with the
+    reference's rules/mappings/attributes/trust unchanged."""
+    from sql_identity_resolution_spark import IDRPipeline
+    from sql_identity_resolution_spark.plans.metadata_csv import load_metadata_csv
+
+    t = datetime(2026, 1, 1)
+    write_parquet(
+        pd.DataFrame(
+            {
+                "customer_id": [1, 2, 3],
+                "email": ["Shared@X.com", "shared@x.com", "solo@x.com"],
+                "phone": ["111", "222", "333"],
+                "loyalty_id": [None, "L9", None],
+                "first_name": ["Ann", "Bob", "Cyd"],
+                "last_name": ["A", "B", "C"],
+                "rec_create_dt": [t] * 3,
+                "rec_update_dt": [t] * 3,
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    write_parquet(
+        pd.DataFrame(
+            {
+                "loyalty_account_id": [77],
+                "email": ["members@club.com"],
+                "phone": ["333"],
+                "loyalty_id": ["L9"],
+                "updated_at": [datetime(2026, 2, 1)],
+            }
+        ),
+        str(tmp_path / "loyalty.parquet"),
+    )
+    cfg = load_metadata_csv(
+        "/root/reference/metadata_samples",
+        warehouse=str(tmp_path / "wh"),
+        paths={
+            "customer": str(tmp_path / "customer.parquet"),
+            "loyalty_accounts": str(tmp_path / "loyalty.parquet"),
+        },
+    )
+    # all reference metadata parsed
+    assert {r.rule_id for r in cfg.rules} == {"R_EMAIL_EXACT", "R_PHONE_EXACT", "R_LOYALTY_EXACT"}
+    assert len(cfg.mappings) == 13 and len(cfg.trust) == 5
+    assert {a.strategy for a in cfg.attributes if a.attribute_name == "email_raw"} == {"MOST_RECENT"}
+    active = [s.table_id for s in cfg.sources if s.is_active]
+    assert sorted(active) == ["customer", "loyalty_accounts"]
+
+    pipe = IDRPipeline(spark, cfg)
+    res = pipe.run("FULL")
+    assert res.status.startswith("SUCCESS")
+    m = {
+        r["entity_key"]: r["resolved_id"]
+        for r in pipe.catalog.read("identity_resolved_membership_current").collect()
+    }
+    # EMAIL LOWERCASE canonicalization merges customers 1+2; LOYALTY_ID L9
+    # bridges customer 3 to the loyalty account; PHONE 333 also links them
+    assert m["customer:1"] == m["customer:2"]
+    assert m["customer:3"] == m["loyalty_accounts:77"]
+
+
+def test_webhook_and_datadog_exporters(spark, crm):
+    from sql_identity_resolution_spark import EngineConfig, IDRPipeline, IdentifierMapping, Rule, SourceTable
+    from sql_identity_resolution_spark.plans.exporter import export_datadog, export_webhook
+
+    cfg = EngineConfig(
+        warehouse=str(crm / "wh4"),
+        sources=[SourceTable("crm", "entity_id", "updated_at", path=str(crm / "crm.parquet"))],
+        rules=[Rule("R_EMAIL", "EMAIL")],
+        mappings=[IdentifierMapping("crm", "EMAIL", "email")],
+    )
+    pipe = IDRPipeline(spark, cfg)
+    res = pipe.run("FULL")
+
+    posted = {}
+
+    def fake_post(url, body, headers):
+        posted["url"], posted["body"], posted["headers"] = url, json.loads(body), headers
+        return True
+
+    out = export_webhook(pipe.catalog, "https://hooks.example/idr", run_id=res.run_id, post=fake_post)
+    assert out["ok"] and out["metrics_count"] == 6
+    names = {m["metric_name"] for m in posted["body"]["metrics"]}
+    assert "idr_run_duration_seconds" in names and "idr_edges_created" in names
+    assert all(m["run_id"] == res.run_id for m in posted["body"]["metrics"])
+
+    out = export_datadog(pipe.catalog, api_key="k", run_id=res.run_id, post=fake_post)
+    assert out["ok"] and posted["headers"]["DD-API-KEY"] == "k"
+    series = posted["body"]["series"]
+    assert {s["metric"] for s in series} >= {"idr_edges_created", "idr_lp_iterations"}
+    assert all(f"run_id:{res.run_id}" in s["tags"] for s in series)
+    assert {s["type"] for s in series} == {"gauge", "count"}
+    with pytest.raises(ValueError):
+        export_datadog(pipe.catalog, api_key=None, run_id=res.run_id, post=fake_post)
+
+
 def test_streaming_incremental(spark, tmp_path):
     from pyspark.sql import functions as F
 
