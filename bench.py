@@ -71,13 +71,18 @@ def run_bench(n_conversations: int | None = None) -> dict:
         n_conversations = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "4000"))
     tmp = tempfile.mkdtemp(prefix="idr_bench_")
     try:
+        from sql_identity_resolution_spark.datagen import write_parquet
+
+        turns_dir = os.path.join(tmp, "turns")
+        os.makedirs(turns_dir)
         gen = generate_transcripts(n_conversations=n_conversations, seed=42)
-        paths = write_transcripts(gen, tmp)
+        write_parquet(gen.turns, os.path.join(turns_dir, "base.parquet"))
         n_turns = len(gen.turns)
-        source, rules, mappings = transcripts_source("chat", paths["turns"])
+        source, rules, mappings = transcripts_source("chat", turns_dir)
         cfg = EngineConfig(warehouse=f"{tmp}/wh", sources=[source], rules=rules, mappings=mappings)
+        pipe = IDRPipeline(spark, cfg)
         t0 = time.time()
-        res = IDRPipeline(spark, cfg).run("FULL")
+        res = pipe.run("FULL")
         idr_sec = round(time.time() - t0, 3)
         idr = {
             "seconds": idr_sec,
@@ -90,6 +95,29 @@ def run_bench(n_conversations: int | None = None) -> dict:
             "stage_seconds": res.stage_seconds,
         }
         timings["idr_full_pipeline"] = idr_sec
+
+        # INCR: a ~1% batch of NEW conversations lands; cost must scale with
+        # the delta (identifier/text stores + delta signature build), not the
+        # corpus — the number that matters for streaming micro-batches.
+        from datetime import datetime
+
+        n_delta = max(n_conversations // 100, 50)
+        gen2 = generate_transcripts(n_conversations=n_delta, seed=43, start_ts=datetime(2027, 1, 1))
+        delta_turns = gen2.turns.copy()
+        delta_turns["conv_id"] = "incr_" + delta_turns["conv_id"].astype(str)
+        write_parquet(delta_turns, os.path.join(turns_dir, "delta.parquet"))
+        t0 = time.time()
+        res_i = pipe.run("INCR")
+        incr_sec = round(time.time() - t0, 3)
+        idr["incr"] = {
+            "seconds": incr_sec,
+            "delta_conversations": n_delta,
+            "delta_turns": len(delta_turns),
+            "entities_processed": res_i.entities_processed,
+            "edges_created": res_i.edges_created,
+            "delta_turns_per_sec": round(len(delta_turns) / incr_sec, 1),
+        }
+        timings["idr_incr_delta"] = incr_sec
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

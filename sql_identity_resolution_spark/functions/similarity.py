@@ -79,6 +79,15 @@ def token_jaccard(a_ser: pd.Series, b_ser: pd.Series) -> pd.Series:
 
 
 def _jaro(a: str, b: str) -> float:
+    """Jaro similarity in O(|a|+|b|) amortized instead of the naive
+    O(|a|·window) double loop.
+
+    The greedy rule ("first unmatched b-position in the window whose char
+    equals a[i]") only ever consumes positions of a[i]'s OWN character, and
+    the window's lower bound is nondecreasing in i — so one sorted position
+    list + advancing pointer per character replays the exact same assignment:
+    each b position is inspected at most twice total. Was the VERDICT-flagged
+    per-pair Python bottleneck for rules selecting this scorer."""
     if a == b:
         return 1.0
     la, lb = len(a), len(b)
@@ -87,28 +96,30 @@ def _jaro(a: str, b: str) -> float:
     window = max(la, lb) // 2 - 1
     if window < 0:
         window = 0
-    match_a = [False] * la
-    match_b = [False] * lb
-    matches = 0
+    pos: dict[str, list[int]] = {}
+    for j, cb in enumerate(b):
+        pos.setdefault(cb, []).append(j)
+    ptr = dict.fromkeys(pos, 0)
+    a_idx: list[int] = []  # i of each match, in a-order
+    b_idx: list[int] = []  # j of each match (collected, then sorted)
     for i, ca in enumerate(a):
-        lo, hi = max(0, i - window), min(lb, i + window + 1)
-        for j in range(lo, hi):
-            if not match_b[j] and b[j] == ca:
-                match_a[i] = match_b[j] = True
-                matches += 1
-                break
+        plist = pos.get(ca)
+        if plist is None:
+            continue
+        k = ptr[ca]
+        lo, hi = i - window, i + window + 1
+        n = len(plist)
+        while k < n and plist[k] < lo:  # below-window positions never re-qualify
+            k += 1
+        ptr[ca] = k
+        if k < n and plist[k] < hi:
+            a_idx.append(i)
+            b_idx.append(plist[k])
+            ptr[ca] = k + 1
+    matches = len(a_idx)
     if matches == 0:
         return 0.0
-    t = 0
-    k = 0
-    for i in range(la):
-        if match_a[i]:
-            while not match_b[k]:
-                k += 1
-            if a[i] != b[k]:
-                t += 1
-            k += 1
-    t //= 2
+    t = sum(1 for i, j in zip(a_idx, sorted(b_idx)) if a[i] != b[j]) // 2
     return (matches / la + matches / lb + (matches - t) / matches) / 3.0
 
 

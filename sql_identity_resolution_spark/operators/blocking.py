@@ -175,7 +175,7 @@ def anchor_edges(
     (sql/common/20:38-56): join members back on the block key, drop the anchor
     row itself. One shuffle on the block key, already co-partitioned with the
     group_sizes agg upstream (Catalyst reuses the exchange)."""
-    groups = valid_groups
+    groups = valid_groups.filter(F.col("group_size") >= 2)
     if exact_only:
         groups = groups.filter(F.col("match_strategy") == "EXACT")
     return (
@@ -208,7 +208,12 @@ def candidate_pairs(valid_groups: DataFrame, members: DataFrame, salt_buckets: i
     heavy block keys across partitions via a synthetic salt when AQE skew
     split is unavailable (non-AQE deployments).
     """
-    scored = valid_groups.filter(F.col("match_strategy") == "SCORED")
+    # size-1 blocks emit nothing (anchor = only member): dropping them up
+    # front shrinks the group side from ~all-distinct-band-keys to just the
+    # colliding blocks — usually <5% — often small enough to auto-broadcast
+    scored = valid_groups.filter(
+        (F.col("match_strategy") == "SCORED") & (F.col("group_size") >= 2)
+    )
     pairs = (
         _salted_block_join(
             scored.select("rule_id", *BLOCK_KEY, "anchor_entity_key", "threshold", "scorer"),

@@ -102,50 +102,67 @@ def _undirected(edges: DataFrame) -> DataFrame:
     )
 
 
-def hash_min_lp(
-    nodes: DataFrame, edges: DataFrame, max_iters: int = 30, checkpoint_every: int = 1
-) -> CCResult:
-    """Min-label propagation to convergence (sql/common/31; idr_run.py:440-481).
+def _with_long_ids(algo_fn, nodes: DataFrame, edges: DataFrame, **kw) -> CCResult:
+    """Run a CC loop on dense LONG node ids, then restore string semantics.
 
-    labels ← nodes self-labeled; repeat: next = MIN(self ∪ neighbors' labels)
-    grouped by node; stop when Σ(cur≠next)=0.
-
-    Scale shape (beyond the reference's per-statement model):
-    - the undirected edge list is checkpointed ONCE, pre-partitioned on the
-      join key, and reused every iteration;
-    - the neighbor join is hinted SHUFFLE_HASH — the planner would otherwise
-      broadcast the label table, which means a driver collect EVERY iteration
-      (serial, and impossible at 10^9 labels anyway);
-    - convergence is an ``Observation`` on the same job that materializes the
-      next labels: ONE Spark action per iteration total, carrying each node's
-      previous label through the aggregation (MAX(cur) — only the self row
-      has it) instead of re-joining cur×next.
+    Entity keys are ~17-40 byte strings; every CC iteration shuffles and
+    hash-joins the full label table, so iterating on 8-byte longs cuts the
+    per-round shuffle width and hash cost severalfold (standard practice —
+    GraphFrames/GraphX do the same). The long ids come from
+    ``monotonically_increasing_id`` (no sort, no global coordination); their
+    ORDER is arbitrary, so after convergence each component's long label is
+    remapped to the MIN STRING key within the component — one groupBy + two
+    joins ONCE, preserving the reference's resolved_id = MIN(entity_key)
+    contract (sql/common/40:2) exactly.
     """
+    mapping = (
+        nodes.select("entity_key")
+        .withColumn("nid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+    )
+    lmap = mapping.withColumnRenamed("entity_key", "left_entity_key").withColumnRenamed("nid", "lid")
+    rmap = mapping.withColumnRenamed("entity_key", "right_entity_key").withColumnRenamed("nid", "rid")
+    ledges = (
+        edges.select("left_entity_key", "right_entity_key")
+        .join(lmap, "left_entity_key")
+        .join(rmap, "right_entity_key")
+        .select(F.col("lid").alias("left_nid"), F.col("rid").alias("right_nid"))
+    )
+    lnodes = mapping.select("nid")
+    res = algo_fn(lnodes, ledges, **kw)  # labels: (nid, lid)
+    with_keys = res.labels.join(mapping, "nid").select("entity_key", "lid")
+    reps = with_keys.groupBy("lid").agg(F.min("entity_key").alias("label"))
+    labels = with_keys.join(reps.hint("shuffle_hash"), "lid").select("entity_key", "label")
+    return CCResult(labels=labels, iterations=res.iterations, converged=res.converged)
+
+
+def _hash_min_lp_long(nodes: DataFrame, edges: DataFrame, max_iters: int, checkpoint_every: int) -> CCResult:
+    """Min-label propagation on long ids; see hash_min_lp for the contract."""
     from pyspark.sql import Observation
 
-    und = _undirected(edges).repartition("dst").localCheckpoint(eager=True)
-    labels = nodes.select("entity_key", F.col("entity_key").alias("label")).localCheckpoint(eager=True)
+    und = edges.select(F.col("left_nid").alias("src"), F.col("right_nid").alias("dst")).union(
+        edges.select(F.col("right_nid").alias("src"), F.col("left_nid").alias("dst"))
+    ).repartition("dst").localCheckpoint(eager=True)
+    labels = nodes.select("nid", F.col("nid").alias("lid")).localCheckpoint(eager=True)
     iterations = 0
     converged = False
     for i in range(max_iters):
         iterations = i + 1
         neighbor_labels = (
-            und.join(labels.withColumnRenamed("entity_key", "dst").hint("shuffle_hash"), "dst", "inner")
-            .select(F.col("src").alias("entity_key"), F.col("label").alias("cand"),
-                    F.lit(None).cast("string").alias("cur"))
+            und.join(labels.withColumnRenamed("nid", "dst").hint("shuffle_hash"), "dst", "inner")
+            .select(F.col("src").alias("nid"), F.col("lid").alias("cand"),
+                    F.lit(None).cast("long").alias("cur"))
         )
-        self_labels = labels.select(
-            "entity_key", F.col("label").alias("cand"), F.col("label").alias("cur")
-        )
+        self_labels = labels.select("nid", F.col("lid").alias("cand"), F.col("lid").alias("cur"))
         merged = (
             self_labels.unionByName(neighbor_labels)
-            .groupBy("entity_key")
-            .agg(F.min("cand").alias("label"), F.max("cur").alias("cur"))
+            .groupBy("nid")
+            .agg(F.min("cand").alias("lid"), F.max("cur").alias("cur"))
         )
         obs = Observation(f"lp_{i}")
         nxt = merged.observe(
-            obs, F.sum(F.when(F.col("label") != F.col("cur"), 1).otherwise(0)).alias("delta")
-        ).select("entity_key", "label")
+            obs, F.sum(F.when(F.col("lid") != F.col("cur"), 1).otherwise(0)).alias("delta")
+        ).select("nid", "lid")
         # the checkpoint IS the action that fills the observation
         nxt = nxt.localCheckpoint(eager=True)
         delta = obs.get["delta"]
@@ -156,24 +173,36 @@ def hash_min_lp(
     return CCResult(labels=labels, iterations=iterations, converged=converged)
 
 
-def alternating_star(
-    nodes: DataFrame, edges: DataFrame, max_iters: int = 50, checkpoint_every: int = 1
+def hash_min_lp(
+    nodes: DataFrame, edges: DataFrame, max_iters: int = 30, checkpoint_every: int = 1
 ) -> CCResult:
-    """Large-star/small-star connected components (Kiveris et al. SoCC'14).
+    """Min-label propagation to convergence (sql/common/31; idr_run.py:440-481).
 
-    Maintains a parent forest as an edge list child→parent with parent<child
-    (string order — same total order MIN-label uses, so final labels equal the
-    component minimum, matching reference resolved_id semantics
-    sql/common/40:2). Each round:
+    labels ← nodes self-labeled; repeat: next = MIN(self ∪ neighbors' labels)
+    grouped by node; stop when Σ(cur≠next)=0.
 
-      large-star: for every node u, connect every strictly-larger neighbor v
-                  to min(N(u) ∪ {u});
-      small-star: connect every parent-or-smaller neighbor to the minimum.
-
-    Converges when the edge set reaches a fixed point (every node points at
-    its component min). O(log²) rounds; each round is groupBy-min + join —
-    shuffle-friendly and skew-handled by AQE.
+    Scale shape (beyond the reference's per-statement model):
+    - iterates on dense LONG ids (see ``_with_long_ids``) — per-round shuffles
+      carry 8-byte keys, not entity strings;
+    - the undirected edge list is checkpointed ONCE, pre-partitioned on the
+      join key, and reused every iteration;
+    - the neighbor join is hinted SHUFFLE_HASH — the planner would otherwise
+      broadcast the label table, which means a driver collect EVERY iteration
+      (serial, and impossible at 10^9 labels anyway);
+    - convergence is an ``Observation`` on the same job that materializes the
+      next labels: ONE Spark action per iteration total, carrying each node's
+      previous label through the aggregation (MAX(cur) — only the self row
+      has it) instead of re-joining cur×next.
     """
+    return _with_long_ids(
+        _hash_min_lp_long, nodes, edges, max_iters=max_iters, checkpoint_every=checkpoint_every
+    )
+
+
+def _alternating_star_long(
+    nodes: DataFrame, edges: DataFrame, max_iters: int, checkpoint_every: int
+) -> CCResult:
+    """Large/small-star on long ids; see alternating_star for the contract."""
     from pyspark.sql import Observation
 
     def _canon(df: DataFrame, a: str, b: str) -> DataFrame:
@@ -202,7 +231,7 @@ def alternating_star(
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
         ]
 
-    pairs = _canon(edges, "left_entity_key", "right_entity_key").localCheckpoint(eager=True)
+    pairs = _canon(edges, "left_nid", "right_nid").localCheckpoint(eager=True)
     prev_sig = None
     iterations = 0
     converged = False
@@ -228,12 +257,35 @@ def alternating_star(
         prev_sig = sig
     labels = (
         nodes.join(
-            pairs.groupBy("u").agg(F.min("v").alias("label")).withColumnRenamed("u", "entity_key"),
-            "entity_key",
+            pairs.groupBy("u").agg(F.min("v").alias("lid")).withColumnRenamed("u", "nid"),
+            "nid",
             "left",
-        ).select("entity_key", F.coalesce("label", "entity_key").alias("label"))
+        ).select("nid", F.coalesce("lid", "nid").alias("lid"))
     )
     return CCResult(labels=labels, iterations=iterations, converged=converged)
+
+
+def alternating_star(
+    nodes: DataFrame, edges: DataFrame, max_iters: int = 50, checkpoint_every: int = 1
+) -> CCResult:
+    """Large-star/small-star connected components (Kiveris et al. SoCC'14).
+
+    Maintains a parent forest as an edge list child→parent with parent<child.
+    Each round:
+
+      large-star: for every node u, connect every strictly-larger neighbor v
+                  to min(N(u) ∪ {u});
+      small-star: connect every parent-or-smaller neighbor to the minimum.
+
+    Converges when the edge set reaches a fixed point (every node points at
+    its component min). O(log²) rounds; each round is groupBy-min + join —
+    shuffle-friendly and skew-handled by AQE. Iterates on dense LONG ids
+    (``_with_long_ids``): label order during the loop is arbitrary, and the
+    final one-shot remap restores resolved_id = MIN(entity_key) string
+    semantics (sql/common/40:2)."""
+    return _with_long_ids(
+        _alternating_star_long, nodes, edges, max_iters=max_iters, checkpoint_every=checkpoint_every
+    )
 
 
 def connected_components(

@@ -77,12 +77,15 @@ def score_candidate_pairs(
             else:
                 lt_arr = F.array_distinct(F.filter(F.split("_lt", " "), lambda t: F.length(t) > 0))
                 rt_arr = F.array_distinct(F.filter(F.split("_rt", " "), lambda t: F.length(t) > 0))
-            score = (
-                F.when((F.size(lt_arr) == 0) & (F.size(rt_arr) == 0), F.lit(1.0))
-                .otherwise(
-                    F.size(F.array_intersect(lt_arr, rt_arr)).cast("double")
-                    / F.size(F.array_union(lt_arr, rt_arr)).cast("double")
-                )
+            # |∪| derived arithmetically (|L|+|R|−|∩|): allocating the union
+            # array per pair just to take its size was the single hottest
+            # expression in the pipeline (memory-bandwidth-bound, didn't
+            # scale with cores). Subexpression elimination shares the one
+            # array_intersect between the two references.
+            inter = F.size(F.array_intersect(lt_arr, rt_arr))
+            denom = F.size(lt_arr) + F.size(rt_arr) - inter
+            score = F.when(denom == 0, F.lit(1.0)).otherwise(
+                inter.cast("double") / denom.cast("double")
             )
             parts.append(subset.withColumn("score", score))
         else:

