@@ -26,6 +26,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+# sf0.1 on one box: 16 shuffle partitions beat the 64 default by ~10%
+# end-to-end (40+ actions per pipeline run; scheduling dominates tiny
+# shuffles, AQE coalesce can't refund task-launch latency). The --scaling
+# workers override this per parallelism level.
+os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "16")
 
 BENCH_QUERIES = [
     "identifier_extraction",
