@@ -27,6 +27,13 @@ untouched buckets are shared across snapshots (same idea as Iceberg manifests
 reusing unchanged data files). ``bucket_col`` must be one of (a deterministic
 function of) the merge keys so matching target/source rows land in the same
 bucket.
+
+Sizing ``n_buckets``: a delta touching k distinct keys rewrites
+min(k, n_buckets) buckets, so the win requires n_buckets ≫ typical delta key
+count ÷ desired rewrite fraction. The sandbox default (32) suits streaming
+micro-batches; a 10⁹-row membership table on a cluster wants
+n_buckets ≈ table_bytes / target_file_bytes (e.g. 4096 × 256 MB), exactly how
+Iceberg bucket partitioning is sized.
 """
 
 from __future__ import annotations
