@@ -29,4 +29,8 @@ from sql_identity_resolution_spark.config import (  # noqa: F401
     SourceTable,
     SourceTrust,
 )
-from sql_identity_resolution_spark.plans.pipeline import IDRPipeline, RunResult  # noqa: F401
+from sql_identity_resolution_spark.plans.pipeline import (  # noqa: F401
+    ConvergenceError,
+    IDRPipeline,
+    RunResult,
+)
