@@ -84,7 +84,11 @@ def run_bench(n_conversations: int | None = None) -> dict:
         write_parquet(gen.turns, os.path.join(turns_dir, "base.parquet"))
         n_turns = len(gen.turns)
         source, rules, mappings = transcripts_source("chat", turns_dir)
-        cfg = EngineConfig(warehouse=f"{tmp}/wh", sources=[source], rules=rules, mappings=mappings)
+        cfg = EngineConfig(
+            warehouse=f"{tmp}/wh", sources=[source], rules=rules, mappings=mappings,
+            # R_FULL_TEXT_EXACT already links identical texts; skip redundant dup pairs
+            emit_duplicate_text_pairs=False,
+        )
         pipe = IDRPipeline(spark, cfg)
         t0 = time.time()
         res = pipe.run("FULL")
@@ -151,7 +155,10 @@ def scaling_worker(turns_path: str, cpus: int) -> None:
     n_turns = spark.read.parquet(turns_path).count()
     wh = tempfile.mkdtemp(prefix=f"idr_scale_wh{cpus}_")
     source, rules, mappings = transcripts_source("chat", turns_path)
-    cfg = EngineConfig(warehouse=wh, sources=[source], rules=rules, mappings=mappings)
+    cfg = EngineConfig(
+        warehouse=wh, sources=[source], rules=rules, mappings=mappings,
+        emit_duplicate_text_pairs=False,  # exact full-text rule covers dups
+    )
     t0 = time.time()
     res = IDRPipeline(spark, cfg).run("FULL")
     sec = round(time.time() - t0, 3)

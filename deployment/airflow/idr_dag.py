@@ -19,14 +19,17 @@ from airflow.operators.bash import BashOperator
 from airflow.operators.python import BranchPythonOperator
 from airflow.utils.trigger_rule import TriggerRule
 
-IDR_ZIP = "/opt/idr/idr.zip"  # python -m zipfile -c idr.zip sql_identity_resolution_spark
+IDR_ZIP = "/opt/idr/idr.zip"  # built by `make zip` (build_pyfiles.py)
+IDR_MAIN = "/opt/idr/idr_main.py"  # launcher app file, built alongside the zip
 CONFIG = "/opt/idr/pipeline.json"  # plans/cli.py config (or metadata_samples CSV dir)
 WAREHOUSE = "/data/idr_warehouse"  # EngineConfig.warehouse (catalog root)
+# spark-submit takes an application FILE (it has no `python -m` option);
+# idr_main.py imports the packaged CLI from the zip on --py-files.
 SPARK_SUBMIT = (
     "spark-submit --deploy-mode cluster "
     f"--py-files {IDR_ZIP} "
     "--conf spark.sql.adaptive.enabled=true "
-    f"-m sql_identity_resolution_spark.plans.cli --config {CONFIG}"
+    f"{IDR_MAIN} --config {CONFIG}"
 )
 ALERT_EMAIL = "alerts@company.com"
 

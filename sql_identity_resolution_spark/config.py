@@ -152,8 +152,24 @@ class EngineConfig:
     max_iters: int = 30  # reference default MAX_ITERS (idr_run.py:37)
     cc_algorithm: str = "auto"  # hash_min | star | auto (star above threshold)
     cc_star_threshold_edges: int = 5_000_000
-    checkpoint_every: int = 1  # LP iterations between lineage truncations
+    # CC rounds fused per Spark job: materialize + convergence-check every k
+    # rounds (k=1 ≙ reference's per-iteration check; k>1 trades ≤k−1 extra
+    # rounds for fewer job round-trips/materializations — see operators/graph.py)
+    checkpoint_every: int = 1
     salt_buckets: int = 0  # >0: salt the blocking join on hot keys
+    # SCORED blocks up to this size score ALL pairs (full within-block recall);
+    # larger blocks fall back to anchor-star — see blocking.candidate_pairs
+    scored_all_pairs_max: int = 64
+    # collapse identical-match_text members to one representative per SCORED
+    # block before pair generation (quadratic → constant on dup-heavy blocks)
+    # — see blocking.dedup_scored_members / duplicate_text_pairs
+    scored_dedup_identical_text: bool = True
+    # link the dropped identical-text copies with linear pre-scored (1.0)
+    # pairs. Safe default. Set False when an active EXACT rule already blocks
+    # on a full-text hash (e.g. transcripts' R_FULL_TEXT_EXACT): the exact
+    # star edges make these pairs redundant, and skipping them keeps the edge
+    # table lean on dup-heavy corpora.
+    emit_duplicate_text_pairs: bool = True
 
     def active_rules(self) -> list[Rule]:
         return [r for r in self.rules if r.is_active]

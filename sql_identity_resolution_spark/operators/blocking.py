@@ -196,38 +196,130 @@ def anchor_edges(
     )
 
 
-def candidate_pairs(valid_groups: DataFrame, members: DataFrame, salt_buckets: int = 0) -> DataFrame:
-    """Candidate pairs for SCORED rules: anchor-star pairs per block (N−1 per
-    block, not N²), ordered left<right for dedup across bands.
+def dedup_scored_members(
+    members: DataFrame, entity_fp: DataFrame, scored_types: list[str]
+) -> DataFrame:
+    """Collapse identical-payload members within each SCORED block to ONE
+    representative (the MIN entity key of the (block, fingerprint) group).
 
-    For LSH bands the same conversation pair can surface in many bands; dedup
-    happens downstream on (left,right) AFTER scoring-key dedup — we dedup the
-    pair list BEFORE scoring (distinct on pair) so each pair is scored once.
-    The star shape means candidate count is linear in block size; hot blocks
-    were already removed by max_group_size. ``salt_buckets`` splits remaining
-    heavy block keys across partitions via a synthetic salt when AQE skew
-    split is unavailable (non-AQE deployments).
+    Identical ``match_text`` ⟹ identical score against every other member, so
+    scoring d copies multiplies pair count by d (quadratic under all-pairs)
+    for zero information. Dedup-heavy corpora — the LLM-training reality —
+    are full of exact duplicates; this turns their blocks from O(d²) to O(1).
+    Connectivity for the dropped copies comes from ``duplicate_text_pairs``
+    (pre-scored 1.0, linear), so no edge is lost.
+
+    ``entity_fp``: (entity_key, fp) with fp = fingerprint of the scoring
+    payload. Non-scored identifier types pass through untouched (EXACT rules
+    consume the original members)."""
+    scored = members.filter(F.col("identifier_type").isin(scored_types))
+    mf = scored.join(entity_fp, "entity_key", "inner")
+    return (
+        mf.groupBy(*BLOCK_KEY, "fp")
+        .agg(F.min(F.struct("entity_key", "table_id")).alias("_r"))
+        .select(
+            F.col("_r.table_id").alias("table_id"),
+            F.col("_r.entity_key").alias("entity_key"),
+            *BLOCK_KEY,
+        )
+    )
+
+
+def duplicate_text_pairs(entity_fp: DataFrame, delta_keys: DataFrame | None = None) -> DataFrame:
+    """(fp, left_entity_key, right_entity_key) linking every entity to its
+    fingerprint group's representative — the linear-pair complement of
+    ``dedup_scored_members`` (identical payload ⟹ similarity 1.0 under any
+    text scorer, so these skip scoring entirely).
+
+    INCR: pass ``delta_keys`` to pair ONLY delta entities — cost ∝ delta.
+    The representative is the MIN PRE-EXISTING member when one exists (stable
+    across runs: old members are already interconnected through it from
+    previous runs), else the min delta member."""
+    fp = entity_fp.filter(F.col("fp").isNotNull())
+    if delta_keys is not None:
+        flagged = fp.join(
+            delta_keys.select("entity_key").distinct().withColumn("_d", F.lit(True)),
+            "entity_key",
+            "left",
+        ).withColumn("_d", F.coalesce("_d", F.lit(False)))
+    else:
+        flagged = fp.withColumn("_d", F.lit(True))
+    reps = flagged.groupBy("fp").agg(
+        F.min(F.when(~F.col("_d"), F.col("entity_key"))).alias("_old_rep"),
+        F.min("entity_key").alias("_any_rep"),
+    ).select("fp", F.coalesce("_old_rep", "_any_rep").alias("_rep"))
+    return (
+        flagged.filter(F.col("_d"))
+        .join(reps, "fp", "inner")
+        .filter(F.col("entity_key") != F.col("_rep"))
+        .select(
+            "fp",
+            F.least("entity_key", "_rep").alias("left_entity_key"),
+            F.greatest("entity_key", "_rep").alias("right_entity_key"),
+        )
+    )
+
+
+def candidate_pairs(
+    valid_groups: DataFrame,
+    members: DataFrame,
+    salt_buckets: int = 0,
+    all_pairs_max: int = 64,
+) -> DataFrame:
+    """Candidate pairs for SCORED rules, ordered left<right for dedup across
+    bands.
+
+    Blocks of size ≤ ``all_pairs_max`` generate ALL pairs (the classic LSH
+    bucket join): full recall within the block — without it, two true
+    near-dups B,C sharing a band whose MIN-key anchor A matches neither would
+    never be scored in that band (silent recall loss; their clustering would
+    depend on B or C anchoring some OTHER shared band). Pair count is ≤
+    all_pairs_max²/2 per block — bounded, and LSH band buckets are tiny in
+    practice. Blocks larger than the cap fall back to anchor-star (N−1
+    pairs): at that size the band key is weakly discriminative and near-dup
+    pairs co-occur in many other (smaller) bands, so linear beats quadratic.
+
+    For LSH bands the same conversation pair surfaces in many bands; the pair
+    list is deduped on (left,right) BEFORE scoring so each pair is scored
+    once. Hot blocks were already removed by max_group_size; ``salt_buckets``
+    splits remaining heavy block keys across partitions when AQE skew split
+    is unavailable.
     """
-    # size-1 blocks emit nothing (anchor = only member): dropping them up
-    # front shrinks the group side from ~all-distinct-band-keys to just the
-    # colliding blocks — usually <5% — often small enough to auto-broadcast
+    # size-1 blocks emit nothing: dropping them up front shrinks the group
+    # side from ~all-distinct-band-keys to just the colliding blocks —
+    # usually <5% — often small enough to auto-broadcast
     scored = valid_groups.filter(
         (F.col("match_strategy") == "SCORED") & (F.col("group_size") >= 2)
     )
-    pairs = (
+    m = members.select("entity_key", *BLOCK_KEY)
+    rule_cols = ["rule_id", "threshold", "scorer"]
+
+    small = scored.filter(F.col("group_size") <= all_pairs_max)
+    a = _salted_block_join(small.select(*rule_cols, *BLOCK_KEY), m, salt_buckets).select(
+        *rule_cols, *BLOCK_KEY, F.col("entity_key").alias("_a")
+    )
+    pairs_all = (
+        a.join(m.withColumnRenamed("entity_key", "_b"), BLOCK_KEY, "inner")
+        .filter(F.col("_a") < F.col("_b"))
+        .select(
+            *rule_cols,
+            *BLOCK_KEY,
+            F.col("_a").alias("left_entity_key"),
+            F.col("_b").alias("right_entity_key"),
+        )
+    )
+
+    large = scored.filter(F.col("group_size") > all_pairs_max)
+    pairs_star = (
         _salted_block_join(
-            scored.select("rule_id", *BLOCK_KEY, "anchor_entity_key", "threshold", "scorer"),
-            members.select("entity_key", *BLOCK_KEY),
-            salt_buckets,
+            large.select(*rule_cols, *BLOCK_KEY, "anchor_entity_key"), m, salt_buckets
         )
         .filter(F.col("entity_key") != F.col("anchor_entity_key"))
         .select(
-            "rule_id",
-            "threshold",
-            "scorer",
+            *rule_cols,
             *BLOCK_KEY,
             F.least("anchor_entity_key", "entity_key").alias("left_entity_key"),
             F.greatest("anchor_entity_key", "entity_key").alias("right_entity_key"),
         )
     )
-    return pairs
+    return pairs_all.unionByName(pairs_star)

@@ -13,10 +13,20 @@ Two CC implementations:
   of diameter; the scale path the north rule mandates for 10^12-turn graphs
   where a single adversarial chain would stall hash-min.
 
-Both run as driver-controlled DataFrame loops with ``localCheckpoint()`` per
-iteration to truncate lineage (the reference's table-swap per iteration,
+Both run as driver-controlled DataFrame loops with ``localCheckpoint()`` to
+truncate lineage (the reference's table-swap per iteration,
 idr_run.py:480-481, plays the same role), and pull exactly ONE scalar per
-iteration (the convergence delta) to the driver.
+materialization (the convergence delta) to the driver.
+
+``checkpoint_every=k`` fuses k propagation rounds into ONE Spark job:
+intermediate rounds are lazily ``persist()``-ed (each round computes exactly
+once when the k-th round's checkpoint action runs — without the persist, a
+round's plan is referenced 2-4× by the next round and evaluation would grow
+exponentially in k) and only every k-th round materializes + checks
+convergence. Fewer job round-trips, at the cost of up to k−1 extra rounds
+past the fixed point (a deterministic step that produces no change IS the
+fixed point, so checking only the last fused round is sound). k=1 (default)
+is the reference's check-every-iteration behavior.
 """
 
 from __future__ import annotations
@@ -146,6 +156,8 @@ def _hash_min_lp_long(nodes: DataFrame, edges: DataFrame, max_iters: int, checkp
     labels = nodes.select("nid", F.col("nid").alias("lid")).localCheckpoint(eager=True)
     iterations = 0
     converged = False
+    step = max(1, checkpoint_every)
+    _pending: list[DataFrame] = []
     for i in range(max_iters):
         iterations = i + 1
         neighbor_labels = (
@@ -159,6 +171,13 @@ def _hash_min_lp_long(nodes: DataFrame, edges: DataFrame, max_iters: int, checkp
             .groupBy("nid")
             .agg(F.min("cand").alias("lid"), F.max("cur").alias("cur"))
         )
+        if (i + 1) % step and i != max_iters - 1:
+            # fused round: lazy persist — computed ONCE by the next checkpoint
+            # action (the next round references this plan twice; without the
+            # persist, fused evaluation grows exponentially in k)
+            labels = merged.select("nid", "lid").persist()
+            _pending.append(labels)
+            continue
         obs = Observation(f"lp_{i}")
         nxt = merged.observe(
             obs, F.sum(F.when(F.col("lid") != F.col("cur"), 1).otherwise(0)).alias("delta")
@@ -166,6 +185,9 @@ def _hash_min_lp_long(nodes: DataFrame, edges: DataFrame, max_iters: int, checkp
         # the checkpoint IS the action that fills the observation
         nxt = nxt.localCheckpoint(eager=True)
         delta = obs.get["delta"]
+        for p in _pending:
+            p.unpersist(False)
+        _pending = []
         labels = nxt
         if not delta:
             converged = True
@@ -235,6 +257,8 @@ def _alternating_star_long(
     prev_sig = None
     iterations = 0
     converged = False
+    step = max(1, checkpoint_every)
+    _pending: list[DataFrame] = []
     for i in range(max_iters):
         iterations = i + 1
         # ---- large-star(u): emit (v, m(u)) for strictly larger neighbors v>u
@@ -247,9 +271,18 @@ def _alternating_star_long(
         )
         self_edges = sm.select(F.col("src").alias("a"), F.col("m").alias("b")).distinct()
         small = _canon(small_edges.union(self_edges), "a", "b")
+        if (i + 1) % step and i != max_iters - 1:
+            # fused round: lazy persist (see _hash_min_lp_long — the next
+            # round references this plan 4×; persist keeps it one evaluation)
+            pairs = small.persist()
+            _pending.append(pairs)
+            continue
         obs = Observation(f"star_{i}")
         small = small.observe(obs, *_signature(small)).localCheckpoint(eager=True)
         sig = (obs.get["n"], obs.get["h"])
+        for p in _pending:
+            p.unpersist(False)
+        _pending = []
         pairs = small
         if sig == prev_sig:
             converged = True

@@ -61,12 +61,13 @@ def _best_cells(df: DataFrame, key: str, carry: list[str], n: int = 1) -> DataFr
     key instead of a full sort of key×n_cells rows. n>1: collect the (tiny,
     ≤n_cells) sim list per key and slice its sorted prefix — still a hash agg,
     no global sort. Ties (equal sim) break to the smallest cell_id, matching
-    the SQL oracle's ORDER BY sim DESC, cell_id."""
+    the SQL oracle's ORDER BY sim DESC, cell_id. cell_id is never negated so
+    non-numeric ids (e.g. string vec ids) order correctly too."""
     if n == 1:
         return (
             df.groupBy(key)
             .agg(
-                F.max(F.struct(F.col("sim"), (-F.col("cell_id")).alias("_neg"), F.col("cell_id"))).alias("_m"),
+                F.min(F.struct((-F.col("sim")).alias("_nsim"), F.col("cell_id"))).alias("_m"),
                 *[F.first(c).alias(c) for c in carry],
             )
             .select(key, *carry, F.col("_m.cell_id").alias("cell_id"))

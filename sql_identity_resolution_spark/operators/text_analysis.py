@@ -83,8 +83,9 @@ def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 
 def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-profile language ID: per language, count profile hits in the
-    token set; argmax wins (ties → 'und', no hits → 'und'). One projection,
-    no shuffle, no UDF."""
+    token set; argmax wins (ties break to the lexicographically LARGEST
+    language code — array_max on (hits, lang) structs; no hits → 'und').
+    One projection, no shuffle, no UDF."""
     norm = normalize_text(F.col(text_col))
     words = F.array_distinct(F.split(norm, " "))
     hit_cols = []

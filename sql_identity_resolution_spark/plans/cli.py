@@ -1,6 +1,6 @@
 """spark-submit entry point.
 
-    spark-submit --py-files idr.zip -m sql_identity_resolution_spark.plans.cli \
+    spark-submit --py-files dist/idr.zip dist/idr_main.py \
         --config pipeline.json --mode INCR [--dry-run] [--cc star]
 
 ≙ the reference's orchestrator invocations (``python sql/duckdb/core/idr_run.py
@@ -8,8 +8,9 @@
 is the metadata-as-data bundle (sources/rules/mappings/exclusions/trust —
 same shapes as metadata_samples/*.csv in the reference, one JSON/YAML doc here).
 
-Packaging: ``python -m zipfile -c idr.zip sql_identity_resolution_spark`` then
-``spark-submit --py-files idr.zip run_idr.py``; in local mode plain
+Packaging: ``make zip`` (build_pyfiles.py) produces ``dist/idr.zip`` plus the
+``dist/idr_main.py`` application file (spark-submit has no ``python -m``
+option, so a real file must be the application); in local mode plain
 ``python -m sql_identity_resolution_spark.plans.cli`` works.
 """
 
@@ -71,6 +72,12 @@ def load_config(path: str) -> EngineConfig:
         transcripts_source,
     )
 
+    if "emit_duplicate_text_pairs" in doc:
+        cfg.emit_duplicate_text_pairs = bool(doc["emit_duplicate_text_pairs"])
+    elif transcripts:
+        # transcripts wiring always ships R_FULL_TEXT_EXACT, which already
+        # links identical texts — the linear dup pairs would be redundant
+        cfg.emit_duplicate_text_pairs = False
     for t in transcripts:
         with_attrs = t.pop("golden_attributes", True)
         src, rules, mappings = transcripts_source(**t)

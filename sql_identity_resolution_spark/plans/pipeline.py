@@ -109,9 +109,16 @@ class IDRPipeline:
         self.catalog = Catalog(spark, cfg.warehouse)
 
     # ------------------------------------------------------------- preflight
-    def preflight(self) -> list[str]:
-        """Metadata validation (idr_run.py:126-171): every mapping needs an
-        active rule; SCORED rules need a match_text column on every source."""
+    def preflight(self, check_data: bool = True) -> list[str]:
+        """Config + data validation before any pipeline stage runs
+        (≙ idr_run.py:126-171 / IDR_ValidateMetadata.py): every mapping needs
+        an active rule; every active source must LOAD, carry its watermark
+        column, and resolve its entity-key / identifier / attribute
+        expressions against the actual schema — a typo'd path or missing
+        column fails HERE with a named error, not mid-pipeline. An empty
+        source is a warning (legal, e.g. a quiet INCR slice).
+
+        ``check_data=False`` skips the source loads (pure config check)."""
         warnings: list[str] = []
         rule_types = {r.identifier_type for r in self.cfg.active_rules()}
         map_types = {m.identifier_type for m in self.cfg.mappings}
@@ -124,6 +131,42 @@ class IDRPipeline:
             raise ValueError("preflight: no sources configured")
         if not self.cfg.active_rules():
             raise ValueError("preflight: no active rules")
+        if not check_data:
+            return warnings
+
+        def _resolve(df: DataFrame, expr: str, what: str) -> None:
+            try:
+                df.select(F.expr(expr))  # analysis only — no action
+            except Exception as e:
+                raise ValueError(f"preflight: {what}: expression {expr!r} does not resolve: {e}") from e
+
+        for st in self.cfg.sources:
+            if not st.is_active:
+                continue
+            try:
+                df = st.load(self.spark)
+            except Exception as e:
+                raise ValueError(
+                    f"preflight: source {st.table_id}: failed to load ({st.path or 'reader'}): {e}"
+                ) from e
+            if st.watermark_column not in df.columns:
+                raise ValueError(
+                    f"preflight: source {st.table_id}: watermark column "
+                    f"{st.watermark_column!r} not in schema {df.columns}"
+                )
+            _resolve(df, st.entity_key_expr, f"source {st.table_id} entity_key_expr")
+            for m in self.cfg.mappings:
+                if m.table_id == st.table_id:
+                    _resolve(df, m.identifier_value_expr,
+                             f"mapping {m.table_id}/{m.identifier_type}")
+            for a in self.cfg.attributes:
+                if a.table_id == st.table_id:
+                    _resolve(df, a.attribute_expr, f"attribute {a.attribute_name}")
+            # emptiness warning only for plain tables (a limit-1 parquet scan);
+            # derived readers (e.g. transcript signatures) would pay their full
+            # aggregation for a limit-1 — not worth it in preflight
+            if st.path is not None and df.isEmpty():
+                warnings.append(f"source {st.table_id} is empty")
         return warnings
 
     def _entity_texts(self, loaded: dict[str, DataFrame] | None = None) -> DataFrame | None:
@@ -200,9 +243,13 @@ class IDRPipeline:
             class _S:
                 def __enter__(s):
                     s.t = time.time()
+                    # tag every Spark job fired inside this stage so the UI /
+                    # REST API attributes shuffle bytes + task time per stage
+                    spark.sparkContext.setJobGroup(name, f"idr stage {name}", False)
                     return s
 
                 def __exit__(s, *a):
+                    spark.sparkContext.setJobGroup("", "", False)
                     res.stage_seconds[name] = round(time.time() - s.t, 3)
 
                 def rows(s, n):
@@ -265,7 +312,7 @@ class IDRPipeline:
                 bucket_col="entity_key",
                 mode=mode,
                 dry_run=dry_run,
-                    delta_is_full=delta_is_full,
+                delta_is_full=delta_is_full,
                 full_df_fn=lambda: extract.apply_exclusions(
                     spark,
                     extract.extract_identifiers(spark, cfg, "FULL", {}, extract.load_sources(spark, cfg)),
@@ -326,13 +373,50 @@ class IDRPipeline:
                     delta_is_full=delta_is_full,
                     full_df_fn=lambda: self._entity_texts(extract.load_sources(spark, cfg)),
                 )
-                pairs = blocking.candidate_pairs(valid, members, salt_buckets=cfg.salt_buckets)
-                scorer_names = sorted(
-                    {r.scorer for r in cfg.active_rules() if r.match_strategy == "SCORED"}
+                scored_rules = [r for r in cfg.active_rules() if r.match_strategy == "SCORED"]
+                scoring_members = members
+                entity_fp = None
+                if cfg.scored_dedup_identical_text:
+                    # scoring-payload fingerprint: empty texts stay unique
+                    # (an empty-vs-empty pair is not evidence of identity)
+                    entity_fp = texts.select(
+                        "entity_key",
+                        F.when(
+                            F.length(F.trim(F.col("match_text"))) > 0,
+                            F.xxhash64("match_text"),
+                        ).alias("fp"),
+                    )
+                    scoring_members = blocking.dedup_scored_members(
+                        members, entity_fp, [r.identifier_type for r in scored_rules]
+                    )
+                pairs = blocking.candidate_pairs(
+                    valid,
+                    scoring_members,
+                    salt_buckets=cfg.salt_buckets,
+                    all_pairs_max=cfg.scored_all_pairs_max,
                 )
-                scored_pairs = scoring.score_candidate_pairs(
-                    pairs, texts, scorers=scorer_names
-                ).localCheckpoint(eager=True)
+                scorer_names = sorted({r.scorer for r in scored_rules})
+                scored_pairs = scoring.score_candidate_pairs(pairs, texts, scorers=scorer_names)
+                if cfg.scored_dedup_identical_text and cfg.emit_duplicate_text_pairs:
+                    # linear complement of the dedup: every dropped duplicate
+                    # links to its fingerprint group's representative with a
+                    # pre-scored 1.0 pair (identical payload ⟹ score 1.0 —
+                    # skipping the scorer is exact, not an approximation)
+                    dup_rule = min(scored_rules, key=lambda r: r.priority)
+                    dup_scored = blocking.duplicate_text_pairs(
+                        entity_fp, delta_keys=entities_delta
+                    ).select(
+                        F.lit(dup_rule.rule_id).alias("rule_id"),
+                        "left_entity_key",
+                        "right_entity_key",
+                        F.lit(dup_rule.identifier_type).alias("identifier_type"),
+                        F.concat(F.lit("dup:"), F.hex("fp")).alias("identifier_value_norm"),
+                        F.lit(float(dup_rule.threshold)).alias("threshold"),
+                        F.lit(dup_rule.scorer).alias("scorer"),
+                        F.lit(1.0).alias("score"),
+                    )
+                    scored_pairs = scored_pairs.unionByName(dup_scored)
+                scored_pairs = scored_pairs.localCheckpoint(eager=True)
                 res.candidate_pairs_scored = scored_pairs.count()
                 edges_new = edges_exact.unionByName(scoring.scored_edges(scored_pairs, run_ts))
             else:

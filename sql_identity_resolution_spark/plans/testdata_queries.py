@@ -194,6 +194,30 @@ def q_anchor_edges(spark, sf_dir):
     return _edges(spark, sf_dir)
 
 
+_CC_LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CC labels (entity_key, label) — memoized per (session, sf_dir).
+
+    The star CC is the flagship computation and several driver queries consume
+    its labels; without the memo the harness pays the full O(log²)-round loop
+    once per consuming query. The cached frame is localCheckpoint'ed (already
+    materialized by the loop), so reuse is an in-memory scan, not a replan."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    labels = _CC_LABELS_CACHE.get(key)
+    if labels is None:
+        edges = _edges(spark, sf_dir)
+        nodes = _customer(spark, sf_dir).select(
+            F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")).alias("entity_key")
+        )
+        cc = alternating_star(nodes, edges, max_iters=60)
+        assert cc.converged, f"star CC did not converge in {cc.iterations} rounds"
+        labels = cc.labels.localCheckpoint(eager=True)
+        _CC_LABELS_CACHE[key] = labels
+    return labels
+
+
 def q_connected_components(spark, sf_dir):
     """§2.9 THE graph operator: connected components over the derived identity
     graph (all customers as nodes, incl. singletons). The ±500/±701 stepping
@@ -201,23 +225,15 @@ def q_connected_components(spark, sf_dir):
     rounds) would need >500 iterations, so this runs the engine's scale path:
     large-star/small-star (Kiveris et al.), O(log²) rounds.
     Oracle: recursive-CTE reachability + MIN label in DuckDB."""
-    edges = _edges(spark, sf_dir)
-    nodes = _customer(spark, sf_dir).select(
-        F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")).alias("entity_key")
+    return _cc_labels(spark, sf_dir).select(
+        "entity_key", F.col("label").alias("resolved_id")
     )
-    cc = alternating_star(nodes, edges, max_iters=60)
-    assert cc.converged, f"star CC did not converge in {cc.iterations} rounds"
-    return cc.labels.select("entity_key", F.col("label").alias("resolved_id"))
 
 
 def q_cluster_sizes(spark, sf_dir):
-    """A6: COUNT(*) per resolved_id over the CC membership."""
-    edges = _edges(spark, sf_dir)
-    nodes = _customer(spark, sf_dir).select(
-        F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")).alias("entity_key")
-    )
-    labels = alternating_star(nodes, edges, max_iters=60).labels
-    return labels.groupBy(F.col("label").alias("resolved_id")).agg(
+    """A6: COUNT(*) per resolved_id over the CC membership (labels shared with
+    q_connected_components via the session-scoped memo)."""
+    return _cc_labels(spark, sf_dir).groupBy(F.col("label").alias("resolved_id")).agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
 
@@ -1219,9 +1235,11 @@ ORACLES["sessionization"] = """
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
-      SELECT *, SUM(new_session) OVER (
+      -- CAST to BIGINT: DuckDB windowed SUM yields HUGEINT (Arrow decimal128),
+      -- which hash-mismatches Spark's bigint even when values are identical.
+      SELECT *, CAST(SUM(new_session) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
       FROM flagged
     )
     SELECT user_id, session_seq,

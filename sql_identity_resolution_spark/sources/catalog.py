@@ -53,16 +53,36 @@ _POINTER = "_CURRENT"
 
 class Catalog:
     def __init__(
-        self, spark: SparkSession, warehouse: str, keep_versions: int = 3, n_buckets: int = 32
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        keep_versions: int = 3,
+        n_buckets: int = 32,
+        table_buckets: dict[str, int] | None = None,
     ):
         self.spark = spark
         self.warehouse = warehouse
         self.keep_versions = keep_versions
         self.n_buckets = n_buckets
+        # per-table override for NEW tables: big fact tables (membership, edges)
+        # want many buckets; tiny dimension stores want few (fewer files + fewer
+        # rewritten slices per delta). Existing tables always keep the modulus
+        # recorded in their pointer (see _table_buckets).
+        self.table_buckets = dict(table_buckets or {})
         os.makedirs(warehouse, exist_ok=True)
 
-    def _bucket_expr(self, bucket_col: str):
-        return F.pmod(F.xxhash64(F.col(bucket_col).cast("string")), F.lit(self.n_buckets)).cast("int")
+    def _table_buckets(self, name: str, meta: dict | None) -> int:
+        """Effective bucket count for ``name``: the modulus stored in the
+        pointer if the table already exists bucketed (a Catalog constructed
+        with a different default must NOT recompute buckets under a new
+        modulus — rows would be looked up in the wrong slices), else the
+        per-table override, else the catalog default."""
+        if meta is not None and meta.get("n_buckets") is not None:
+            return int(meta["n_buckets"])
+        return int(self.table_buckets.get(name, self.n_buckets))
+
+    def _bucket_expr(self, bucket_col: str, n_buckets: int):
+        return F.pmod(F.xxhash64(F.col(bucket_col).cast("string")), F.lit(n_buckets)).cast("int")
 
     # ------------------------------------------------------------------ paths
     def _tdir(self, name: str) -> str:
@@ -159,6 +179,7 @@ class Catalog:
         bucket into ONE new version dir; pointer maps touched buckets to it,
         untouched buckets keep their prior version (shared, never rewritten).
         A touched bucket with no surviving rows is dropped from the map."""
+        n_buckets = self._table_buckets(name, base)
         tdir = self._tdir(name)
         os.makedirs(tdir, exist_ok=True)
         version = f"v{int(time.time() * 1000):016d}_{uuid.uuid4().hex[:6]}"
@@ -167,8 +188,8 @@ class Catalog:
         # opens a writer per bucket it sees (shuffle_partitions × n_buckets
         # small files + per-task partition sort — measured 3× slower commits)
         (
-            df.withColumn("_bucket", self._bucket_expr(bucket_col))
-            .repartition(self.n_buckets, "_bucket")
+            df.withColumn("_bucket", self._bucket_expr(bucket_col, n_buckets))
+            .repartition(n_buckets, "_bucket")
             .write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(out)
@@ -186,7 +207,7 @@ class Catalog:
                     "version": version,
                     "buckets": bmap,
                     "bucket_col": bucket_col,
-                    "n_buckets": self.n_buckets,
+                    "n_buckets": n_buckets,
                     "schema": df.schema.jsonValue(),
                     "committed_at": time.time(),
                 },
@@ -220,22 +241,27 @@ class Catalog:
             json.dump({"version": version, "parts": parts, "committed_at": time.time()}, f)
         os.replace(tmp, self._pointer_path(name))
 
-    def _touched_buckets(self, source: DataFrame, bucket_col: str) -> set[int]:
+    def _touched_buckets(self, source: DataFrame, bucket_col: str, n_buckets: int) -> set[int]:
         """Distinct buckets the source rows hash into — a ≤n_buckets-row
         collect (the one legitimate driver-side scalar of a bucketed MERGE,
         ≙ Iceberg's partition-predicate planning)."""
         return {
             r["b"]
-            for r in source.select(self._bucket_expr(bucket_col).alias("b")).distinct().collect()
+            for r in source.select(
+                self._bucket_expr(bucket_col, n_buckets).alias("b")
+            ).distinct().collect()
         }
 
     def _merge_target(
         self, name: str, source: DataFrame, bucket_col: str | None
     ) -> tuple[DataFrame, dict | None, set[int] | None]:
-        """(target slice to merge against, pointer meta, touched buckets)."""
+        """(target slice to merge against, pointer meta, touched buckets).
+        The touched-bucket computation uses the modulus STORED in the table's
+        pointer, never the catalog default — a mismatch would read the wrong
+        target slices and duplicate keys on upsert."""
         meta = self._pointer(name)
         if bucket_col is not None and meta and meta.get("buckets") is not None:
-            touched = self._touched_buckets(source, bucket_col)
+            touched = self._touched_buckets(source, bucket_col, self._table_buckets(name, meta))
             return self.read(name, buckets=sorted(touched)), meta, touched
         return self.read(name), meta, None
 

@@ -14,8 +14,14 @@ Two formulations, chosen Spark-first:
   so a streaming consumer can join against batch-produced history. State per
   user = (next_seq, open-session aggregate); a session closes — and only
   then emits — when a gap > ``gap_seconds`` arrives or the state times out
-  past the watermark (late/out-of-order events inside the watermark are
-  handled by sorting each micro-batch group before folding).
+  past the watermark. Out-of-order events inside the watermark are handled
+  by sorting each micro-batch group before folding AND, across micro-batch
+  boundaries, by only ever WIDENING the open session (start=min, end=max) —
+  a late event never moves the session end backwards, so a following
+  on-time event cannot see a spurious gap. Known limit (documented, same as
+  the built-in's append mode): a late event older than one gap before the
+  open session's start merges into the open session rather than reopening
+  an already-emitted one — emitted ordinals stay stable.
 
 At 100 TB the stream is partitioned by user_id into the state store exactly
 like the batch window partitions; state size is O(open sessions), not
@@ -106,20 +112,27 @@ def _sessionize_fn(gap_seconds: int):
         out: dict[str, list] = {k: [] for k in ("user_id", "session_seq", "n_events", "total_value", "session_start", "session_end")}
         for ts, value in zip(rows["ts"], rows["value"]):
             ts_us = int(pd.Timestamp(ts).value // 1000)
-            if last_us is not None and ts_us - last_us > gap_us:
+            if n_ev > 0 and ts_us - last_us > gap_us:
                 out["user_id"].append(user_id)
                 out["session_seq"].append(next_seq - 1)  # ordinal assigned at open
                 out["n_events"].append(n_ev)
                 out["total_value"].append(total)
                 out["session_start"].append(pd.Timestamp(start_us, unit="us"))
                 out["session_end"].append(pd.Timestamp(last_us, unit="us"))
-                n_ev, total, start_us = 0, 0.0, None
+                n_ev, total = 0, 0.0
             if n_ev == 0:
-                start_us = ts_us
+                start_us = last_us = ts_us
                 next_seq += 1
+            else:
+                # out-of-order event (inside the watermark) that sorts before
+                # the open session's end — or before its start across a
+                # micro-batch boundary: extend the session in BOTH directions;
+                # never move its end backwards (a later on-time event would
+                # otherwise see a spurious gap and wrongly split the session).
+                start_us = min(start_us, ts_us)
+                last_us = max(last_us, ts_us)
             n_ev += 1
             total += float(value) if value is not None else 0.0
-            last_us = ts_us
 
         state.update((next_seq, n_ev, total, start_us, last_us))
         # keep the open session alive one gap past the newest event

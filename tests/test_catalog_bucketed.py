@@ -63,6 +63,40 @@ def test_bucketed_read_prunes_to_requested_buckets(spark, tmp_path):
     assert "k3" in rows and len(rows) < 64  # a single bucket slice
 
 
+def test_catalog_adopts_stored_modulus_on_mismatch(spark, tmp_path):
+    """A Catalog constructed with a DIFFERENT default n_buckets than the one
+    that wrote the table must keep using the stored modulus — otherwise
+    touched-bucket planning reads the wrong slices and upserts duplicate keys."""
+    wh = str(tmp_path / "wh")
+    Catalog(spark, wh, n_buckets=8).overwrite("t", _mk(spark, [(f"k{i}", i) for i in range(64)]), bucket_col="k")
+
+    cat32 = Catalog(spark, wh, n_buckets=32)  # mismatched default
+    cat32.merge_upsert("t", _mk(spark, [("k3", 999), ("newk", 7)]), keys=["k"], bucket_col="k")
+    meta = json.load(open(os.path.join(cat32._tdir("t"), "_CURRENT")))
+    assert meta["n_buckets"] == 8  # stored modulus kept, not the new default
+    assert all(int(b) < 8 for b in meta["buckets"])
+    got = {r["k"]: r["v"] for r in cat32.read("t").collect()}
+    assert len(got) == 65 and got["k3"] == 999 and got["newk"] == 7
+
+    cat32.delete_insert("t", _mk(spark, [("k3", 1)]), keys=["k"], bucket_col="k")
+    got = {r["k"]: r["v"] for r in cat32.read("t").collect()}
+    assert len(got) == 65 and got["k3"] == 1  # no duplicate k3 under a second modulus
+
+
+def test_catalog_per_table_bucket_override(spark, tmp_path):
+    """NEW tables take the per-table n_buckets override (fact tables want many
+    buckets, tiny dimension stores few); existing tables keep their pointer's."""
+    cat = Catalog(spark, str(tmp_path / "wh"), n_buckets=8, table_buckets={"big": 16, "small": 2})
+    cat.overwrite("big", _mk(spark, [(f"k{i}", i) for i in range(64)]), bucket_col="k")
+    cat.overwrite("small", _mk(spark, [("a", 1), ("b", 2)]), bucket_col="k")
+    cat.overwrite("default", _mk(spark, [("a", 1)]), bucket_col="k")
+    for name, want in [("big", 16), ("small", 2), ("default", 8)]:
+        meta = json.load(open(os.path.join(cat._tdir(name), "_CURRENT")))
+        assert meta["n_buckets"] == want, name
+    cat.merge_upsert("small", _mk(spark, [("b", 20)]), keys=["k"], bucket_col="k")
+    assert {r["k"]: r["v"] for r in cat.read("small").collect()} == {"a": 1, "b": 20}
+
+
 def test_unbucketed_table_converts_on_first_bucketed_merge(spark, tmp_path):
     cat = Catalog(spark, str(tmp_path / "wh"), n_buckets=4)
     cat.overwrite("t", _mk(spark, [("a", 1), ("b", 2)]))  # legacy flat layout
