@@ -151,13 +151,20 @@ def scaling_worker(turns_path: str, cpus: int) -> None:
     from sql_identity_resolution_spark import EngineConfig, IDRPipeline
     from sql_identity_resolution_spark.sources.transcripts import transcripts_source
 
+    clustered = os.environ.get("SPARK_GRAFT_CLUSTERED", "1") != "0"
     spark = build_session(app_name=f"idr-scaling-{cpus}", master=f"local[{cpus}]")
     n_turns = spark.read.parquet(turns_path).count()
     wh = tempfile.mkdtemp(prefix=f"idr_scale_wh{cpus}_")
-    source, rules, mappings = transcripts_source("chat", turns_path)
+    source, rules, mappings = transcripts_source("chat", turns_path, clustered=clustered)
     cfg = EngineConfig(
         warehouse=wh, sources=[source], rules=rules, mappings=mappings,
         emit_duplicate_text_pairs=False,  # exact full-text rule covers dups
+        # single box: every shuffle is a page-cache memcpy, while a broadcast
+        # build is driver-serial (an Amdahl term) — measured 0.470 vs 0.475
+        # raw 8→32 WITH broadcast and ~4% slower absolute. On multi-executor
+        # clusters the default (broadcast small text stores) saves the
+        # network pass; here the shuffle join is the honest parallel path.
+        score_broadcast_max_entities=0,
     )
     t0 = time.time()
     res = IDRPipeline(spark, cfg).run("FULL")
@@ -200,9 +207,14 @@ def run_scaling() -> None:
 
         spark = build_session(app_name="idr-scaling-gen", master=f"local[{os.cpu_count() or 8}]")
         turns_path = os.path.join(corpus_dir, "turns")
-        generate_transcripts_spark(spark, n_conversations=convs, seed=42).drop(
+        turns = generate_transcripts_spark(spark, n_conversations=convs, seed=42).drop(
             "truth_cluster_id"
-        ).write.parquet(turns_path)
+        )
+        if os.environ.get("SPARK_GRAFT_CLUSTERED", "1") != "0":
+            # production layout: bucketed + sorted by conv_id (≙ Iceberg
+            # bucket partitioning) — signature build reads it shuffle-free
+            turns = turns.repartition(64, "conv_id").sortWithinPartitions("conv_id", "turn_idx")
+        turns.write.parquet(turns_path)
         spark.stop()
 
         results = {}
@@ -215,7 +227,11 @@ def run_scaling() -> None:
                     capture_output=True,
                     text=True,
                 )
-                line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+                json_lines = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
+                if not json_lines:
+                    sys.stderr.write(out.stderr[-4000:] + "\n")
+                    raise RuntimeError(f"scaling worker local[{cpus}] produced no result")
+                line = json_lines[-1]
                 r = json.loads(line)
                 if best is None or r["turns_per_sec"] > best["turns_per_sec"]:
                     best = r

@@ -170,6 +170,16 @@ class EngineConfig:
     # star edges make these pairs redundant, and skipping them keeps the edge
     # table lean on dup-heavy corpora.
     emit_duplicate_text_pairs: bool = True
+    # broadcast the tokenized entity-text side of the pair-scoring join when
+    # the text store holds at most this many entities — the token arrays are
+    # the pipeline's biggest shuffle byte source; broadcasting keeps the pair
+    # stream map-side. Beyond the cap (true web scale) the shuffle join runs.
+    score_broadcast_max_entities: int = 5_000_000
+    # catalog bucket layout: default modulus for new bucketed tables + optional
+    # per-table overrides (big fact tables want many buckets so a small delta's
+    # MERGE rewrites a small table fraction; see sources/catalog.py sizing note)
+    catalog_buckets: int = 32
+    catalog_table_buckets: dict[str, int] | None = None
 
     def active_rules(self) -> list[Rule]:
         return [r for r in self.rules if r.is_active]

@@ -30,6 +30,8 @@ def score_candidate_pairs(
     entity_texts: DataFrame,
     text_col: str = "match_text",
     scorers: list[str] | None = None,
+    rule_meta: dict[str, tuple[float, str]] | None = None,
+    broadcast_texts: bool = False,
 ) -> DataFrame:
     """pairs: (rule_id, threshold, scorer, identifier_type,
     identifier_value_norm, left_entity_key, right_entity_key) — possibly with
@@ -37,35 +39,71 @@ def score_candidate_pairs(
 
     Dedup keeps the lowest band's block key (deterministic MIN) so edge
     provenance is stable run-to-run.
-    """
-    uniq = pairs.groupBy("rule_id", "left_entity_key", "right_entity_key").agg(
-        F.min("identifier_type").alias("identifier_type"),
-        F.min("identifier_value_norm").alias("identifier_value_norm"),
-        F.first("threshold").alias("threshold"),
-        F.first("scorer").alias("scorer"),
-    )
+
+    ``rule_meta`` ({rule_id: (threshold, scorer)}): when given, the dedup
+    shuffle carries only (rule_id, keys, provenance) and threshold/scorer
+    re-attach AFTER dedup via a broadcast join — the band-duplicated pair
+    stream is the widest row-count shuffle in the pipeline, so dropping
+    constant-per-rule payload from it is a direct shuffle-byte cut.
+
+    ``broadcast_texts``: hint the tokenized entity side into a broadcast
+    join. The token arrays attached to every pair are the pipeline's biggest
+    shuffle BYTE source; when the entity-text table fits the broadcast budget
+    (caller decides — see EngineConfig.score_broadcast_max_entities) the pair
+    stream never reshuffles at all. At 10^9+ entities leave it off and the
+    classic shuffle equi-join runs instead."""
+    if rule_meta:
+        uniq = pairs.groupBy("rule_id", "left_entity_key", "right_entity_key").agg(
+            F.min("identifier_type").alias("identifier_type"),
+            F.min("identifier_value_norm").alias("identifier_value_norm"),
+        )
+        spark = pairs.sparkSession
+        meta_df = spark.createDataFrame(
+            [(rid, float(t), s) for rid, (t, s) in rule_meta.items()],
+            "rule_id string, threshold double, scorer string",
+        )
+        uniq = uniq.join(F.broadcast(meta_df), "rule_id", "inner")
+    else:
+        uniq = pairs.groupBy("rule_id", "left_entity_key", "right_entity_key").agg(
+            F.min("identifier_type").alias("identifier_type"),
+            F.min("identifier_value_norm").alias("identifier_value_norm"),
+            F.first("threshold").alias("threshold"),
+            F.first("scorer").alias("scorer"),
+        )
     # one scorer invocation per scorer name; pass from rule metadata — deriving
     # it from the data (distinct().collect()) would recompute the whole join
     if scorers is None:
-        scorers = [r["scorer"] for r in pairs.select("scorer").distinct().collect()]
+        if rule_meta:
+            scorers = sorted({s for _, s in rule_meta.values()})
+        else:
+            scorers = [r["scorer"] for r in pairs.select("scorer").distinct().collect()]
     jvm_only = set(scorers) <= {"token_jaccard"}
 
     capped = F.substring(F.col(text_col), 1, SCORING_TEXT_MAX_CHARS)
     if jvm_only:
-        # the default scorer compares token SETS — hash tokens to int64 on the
+        # the default scorer compares token SETS — hash tokens to int32 on the
         # ENTITY side (one pass over entities) and ship compact arrays to the
-        # pair join instead of raw text: ~40% fewer shuffled bytes on the
-        # biggest shuffle in the pipeline, and the set ops stay codegen'd.
+        # pair join instead of raw text. The token arrays dominate the
+        # pipeline's biggest shuffle (they attach to every candidate pair
+        # twice), so element width IS shuffle width: 4-byte tokens halve it
+        # vs int64 (31 usable bits — ANSI mode forbids the overflowing
+        # 64→32 cast, so mask first). A truncation collision needs two
+        # distinct tokens of the SAME pair to collide (~|L|·|R|/2^31 ≈ 3e-5
+        # for transcript sizes) and then shifts |∩| by 1 — orders of
+        # magnitude inside the threshold margin, and deterministic across
+        # runs/parallelism.
         rep = F.array_distinct(
             F.transform(
                 F.filter(F.split(capped, " "), lambda t: F.length(t) > 0),
-                lambda t: F.xxhash64(t),
+                lambda t: F.xxhash64(t).bitwiseAND(F.lit(0x7FFFFFFF)).cast("int"),
             )
         )
     else:
         rep = capped
     lt = entity_texts.select(F.col("entity_key").alias("left_entity_key"), rep.alias("_lt"))
     rt = entity_texts.select(F.col("entity_key").alias("right_entity_key"), rep.alias("_rt"))
+    if broadcast_texts:
+        lt, rt = F.broadcast(lt), F.broadcast(rt)
     withtext = uniq.join(lt, "left_entity_key", "inner").join(rt, "right_entity_key", "inner")
 
     parts = []

@@ -106,7 +106,12 @@ class IDRPipeline:
     def __init__(self, spark: SparkSession, cfg: EngineConfig):
         self.spark = spark
         self.cfg = cfg
-        self.catalog = Catalog(spark, cfg.warehouse)
+        self.catalog = Catalog(
+            spark,
+            cfg.warehouse,
+            n_buckets=cfg.catalog_buckets,
+            table_buckets=cfg.catalog_table_buckets or {},
+        )
 
     # ------------------------------------------------------------- preflight
     def preflight(self, check_data: bool = True) -> list[str]:
@@ -396,7 +401,22 @@ class IDRPipeline:
                     all_pairs_max=cfg.scored_all_pairs_max,
                 )
                 scorer_names = sorted({r.scorer for r in scored_rules})
-                scored_pairs = scoring.score_candidate_pairs(pairs, texts, scorers=scorer_names)
+                # entity-count gate for broadcasting texts into the scoring
+                # join (the pair stream then never reshuffles with token
+                # arrays). FULL already knows the count; INCR pays one cheap
+                # scan of the (store ∪ delta) view.
+                n_texts = (
+                    res.entities_processed
+                    if (mode == "FULL" or delta_is_full)
+                    else texts.count()
+                )
+                scored_pairs = scoring.score_candidate_pairs(
+                    pairs,
+                    texts,
+                    scorers=scorer_names,
+                    rule_meta={r.rule_id: (float(r.threshold), r.scorer) for r in scored_rules},
+                    broadcast_texts=n_texts <= cfg.score_broadcast_max_entities,
+                )
                 if cfg.scored_dedup_identical_text and cfg.emit_duplicate_text_pairs:
                     # linear complement of the dedup: every dropped duplicate
                     # links to its fingerprint group's representative with a

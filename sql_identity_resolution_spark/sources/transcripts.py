@@ -94,6 +94,150 @@ def conversation_signatures(
     return sig.withColumn("lsh_bands", band_udf(F.col("match_text")))
 
 
+_SIG_SCHEMA = (
+    "conv_id string, last_ts timestamp, n_turns bigint, sig_role_tool string, "
+    "sig_first_text string, match_text string, sig_full_text string, "
+    "lsh_bands array<string>"
+)
+
+def _finalize_conversations(convs, num_perm, bands, shingle_k):
+    """List of (conv_id, rows) → pandas DataFrame of signature rows; ``rows``
+    is a list of (turn_idx, role, text_norm, tool, ts) tuples. Bit-identical
+    to the JVM path: tuple sort ≙ array_sort's lexicographic struct compare
+    (None sorts first ≙ Spark's NULLS FIRST), sha256 hex ≙ sha2(...,256)."""
+    import hashlib
+
+    import pandas as pd
+
+    from sql_identity_resolution_spark.functions.minhash import minhash_band_keys
+
+    out = {k: [] for k in (
+        "conv_id", "last_ts", "n_turns", "sig_role_tool", "sig_first_text",
+        "match_text", "sig_full_text",
+    )}
+    for conv_id, rows in convs:
+        rows.sort(
+            key=lambda r: (r[0] is not None, r[0] or 0, r[1] is not None, r[1] or "", r[2], r[3])
+        )
+        role_tool = "|".join(
+            (f"{r[1]}:{r[3]}" if r[1] is not None else r[3]) for r in rows
+        )
+        first_text = rows[0][2]
+        match_text = " ".join(r[2] for r in rows)[:MATCH_TEXT_MAX_CHARS]
+        out["conv_id"].append(conv_id)
+        out["last_ts"].append(max(r[4] for r in rows))
+        out["n_turns"].append(len(rows))
+        out["sig_role_tool"].append(
+            hashlib.sha256(f"{role_tool}§{first_text}".encode()).hexdigest()
+        )
+        out["sig_first_text"].append(hashlib.sha256(first_text.encode()).hexdigest())
+        out["match_text"].append(match_text)
+        out["sig_full_text"].append(hashlib.sha256(match_text.encode()).hexdigest())
+    pdf = pd.DataFrame(out)
+    pdf["lsh_bands"] = minhash_band_keys(
+        pdf["match_text"], num_perm=num_perm, bands=bands, shingle_k=shingle_k
+    )
+    return pdf
+
+
+def conversation_signatures_clustered(
+    turns: DataFrame,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    out_chunk: int = 1024,
+) -> DataFrame:
+    """Shuffle-FREE signature build for conv_id-clustered input — the 100-TB
+    layout: an Iceberg/parquet table bucketed + sorted by ``conv_id`` (each
+    conversation's turns contiguous within one file, no conversation spanning
+    files). A streaming group-by inside ``mapInPandas`` then aggregates each
+    partition with zero exchange — the pipeline's single biggest shuffle (all
+    turn text moving to its conversation's reducer) disappears, which on a
+    shared-memory-bus box converts the stage from bandwidth-bound to
+    compute-bound (and on a real cluster saves the network pass entirely).
+
+    Output is bit-identical to :func:`conversation_signatures` (asserted in
+    tests/test_transcripts_clustered.py). REQUIRES the layout contract; run
+    :func:`validate_clustered_layout` once per layout change to verify it —
+    violations silently emit duplicate per-conversation rows. Plain
+    row-at-a-time Python never touches turn text: per-batch normalization is
+    vectorized pandas ``str`` ops; MinHash runs on the same batched numpy path
+    as the UDF."""
+    import re
+
+    import pandas as pd
+
+    def build(it):
+        norm_re = re.compile(r"[^a-z0-9]+")
+        carry_id, carry_rows = None, []
+        pending: list = []
+
+        def flush_pending():
+            return _finalize_conversations(pending, num_perm, bands, shingle_k)
+
+        for pdf in it:
+            if pdf.empty:
+                continue
+            text_norm = (
+                pdf["text"].fillna("").str.lower().str.replace(norm_re, " ", regex=True).str.strip()
+            )
+            tool = pdf["tool"].fillna("")
+            cid = pdf["conv_id"]
+            rows = list(zip(pdf["turn_idx"], pdf["role"], text_norm, tool, pdf["ts"]))
+            # split the batch at conversation boundaries (input is clustered:
+            # each conversation is one contiguous run)
+            start = 0
+            for i in range(1, len(rows) + 1):
+                if i == len(rows) or cid.iat[i] != cid.iat[i - 1]:
+                    chunk = rows[start:i]
+                    this_id = cid.iat[start]
+                    if carry_id is not None and this_id == carry_id:
+                        carry_rows.extend(chunk)
+                    else:
+                        if carry_id is not None:
+                            pending.append((carry_id, carry_rows))
+                        carry_id, carry_rows = this_id, chunk
+                    start = i
+            # everything except the still-open last group is complete
+            if len(pending) >= out_chunk:
+                yield flush_pending()
+                pending = []
+        if carry_id is not None:
+            pending.append((carry_id, carry_rows))
+        if pending:
+            yield flush_pending()
+
+    return turns.select("conv_id", "turn_idx", "role", "text", "tool", "ts").mapInPandas(
+        build, _SIG_SCHEMA
+    )
+
+
+def validate_clustered_layout(turns: DataFrame) -> bool:
+    """True iff no conv_id spans a read partition: Σ per-partition distinct
+    conv_id == global distinct conv_id. One cheap aggregate pass; run it when
+    adopting ``clustered=True`` on a new table layout (bucketed+sorted writes
+    keep the invariant by construction)."""
+
+    def count_groups(it):
+        import pandas as pd
+
+        n, last = 0, None
+        for pdf in it:
+            if pdf.empty:
+                continue
+            cid = pdf["conv_id"]
+            n += int((cid != cid.shift()).sum())
+            if last is not None and len(cid) and cid.iat[0] == last:
+                n -= 1
+            if len(cid):
+                last = cid.iat[-1]
+        yield pd.DataFrame({"n": [n]})
+
+    per_part = turns.select("conv_id").mapInPandas(count_groups, "n long")
+    total = per_part.agg(F.sum("n").alias("s")).collect()[0]["s"] or 0
+    return int(total) == turns.select("conv_id").distinct().count()
+
+
 def transcripts_source(
     table_id: str,
     turns_path: str,
@@ -101,14 +245,18 @@ def transcripts_source(
     bands: int = 16,
     lsh_threshold: float = 0.6,
     max_group_size: int = 10_000,
+    clustered: bool = False,
 ) -> tuple[SourceTable, list[Rule], list[IdentifierMapping]]:
     """Wire a transcripts table into the generic pipeline: the SourceTable
     reads turn-level parquet and lifts it to conversation signatures; rules
     and mappings follow the reference's metadata pattern
-    (metadata_samples/rule.csv shapes)."""
+    (metadata_samples/rule.csv shapes). ``clustered=True`` opts into the
+    shuffle-free signature build (input bucketed+sorted by conv_id — see
+    :func:`conversation_signatures_clustered`)."""
 
     def reader(spark):
-        return conversation_signatures(spark.read.parquet(turns_path), num_perm=num_perm, bands=bands)
+        build = conversation_signatures_clustered if clustered else conversation_signatures
+        return build(spark.read.parquet(turns_path), num_perm=num_perm, bands=bands)
 
     def delta_reader(spark, since):
         """Signatures for DELTA conversations only: a pushed-down ts predicate
