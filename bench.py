@@ -84,10 +84,19 @@ def run_bench(n_conversations: int | None = None) -> dict:
         write_parquet(gen.turns, os.path.join(turns_dir, "base.parquet"))
         n_turns = len(gen.turns)
         source, rules, mappings = transcripts_source("chat", turns_dir)
+        # big fact/store tables get more buckets than the 32 default so the
+        # INCR delta's MERGE rewrites a small table FRACTION (a k-key delta
+        # touches ≤k buckets ⇒ ~k/n of table bytes) — the sizing rule
+        # documented in sources/catalog.py, demonstrated here
+        big = {t: 256 for t in (
+            "identity_edges_current", "identity_resolved_membership_current",
+            "identifiers_current", "entity_texts_current",
+        )}
         cfg = EngineConfig(
             warehouse=f"{tmp}/wh", sources=[source], rules=rules, mappings=mappings,
             # R_FULL_TEXT_EXACT already links identical texts; skip redundant dup pairs
             emit_duplicate_text_pairs=False,
+            catalog_table_buckets=big,
         )
         pipe = IDRPipeline(spark, cfg)
         t0 = time.time()
@@ -125,6 +134,8 @@ def run_bench(n_conversations: int | None = None) -> dict:
             "entities_processed": res_i.entities_processed,
             "edges_created": res_i.edges_created,
             "delta_turns_per_sec": round(len(delta_turns) / incr_sec, 1),
+            # fraction of each bucketed table this INCR actually rewrote
+            "store_commits": res_i.store_commits,
         }
         timings["idr_incr_delta"] = incr_sec
     finally:
@@ -165,6 +176,7 @@ def scaling_worker(turns_path: str, cpus: int) -> None:
         # clusters the default (broadcast small text stores) saves the
         # network pass; here the shuffle join is the honest parallel path.
         score_broadcast_max_entities=0,
+        scored_all_pairs_max=int(os.environ.get("SPARK_GRAFT_ALL_PAIRS_MAX", "64")),
     )
     t0 = time.time()
     res = IDRPipeline(spark, cfg).run("FULL")

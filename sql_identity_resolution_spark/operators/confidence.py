@@ -57,8 +57,17 @@ def cluster_confidence(sizes: DataFrame, edge_stats: DataFrame, run_ts) -> DataF
         )
         .alias("match_density"),
     )
-    max_div = density.agg(F.greatest(F.lit(1), F.max("edge_diversity")).alias("max_div"))
-    cd = density.crossJoin(F.broadcast(max_div))
+    # global max_diversity scalar: the reference CROSS JOINs a 1-row agg
+    # (sql/common/42:80). A literal from a 1-row collect is semantically
+    # identical and sturdier: the crossJoin form references ``density`` twice
+    # (agg + probe side), and with AQE + bucketed-table scans the reused
+    # exchange can coalesce to different partition counts on each reference
+    # (observed "Can't zip RDDs with unequal numbers of partitions" on
+    # Spark 4.1.2 with 256-bucket inputs); the scalar also avoids computing
+    # ``density`` twice. One 1-row driver round-trip per run — same class as
+    # the run_state read.
+    md = density.agg(F.greatest(F.lit(1), F.max("edge_diversity")).alias("m")).first()["m"]
+    cd = density.withColumn("max_div", F.lit(int(md)))
     return cd.select(
         "resolved_id",
         "cluster_size",

@@ -98,6 +98,9 @@ class RunResult:
     lp_converged: bool = True
     duration_seconds: float = 0.0
     stage_seconds: dict = field(default_factory=dict)
+    # bucketed-table commit stats of this run ({table: {n_buckets,
+    # touched_buckets, rewritten_fraction}}) — see Catalog.last_commit_stats
+    store_commits: dict = field(default_factory=dict)
     warnings: list = field(default_factory=list)
     status: str = "SUCCESS"
 
@@ -240,6 +243,7 @@ class IDRPipeline:
         run_id = run_id or f"run_{datetime.now(timezone.utc).strftime('%Y%m%d%H%M%S')}_{uuid.uuid4().hex[:8]}"
         run_ts = datetime.now(timezone.utc).replace(tzinfo=None)
         res = RunResult(run_id=run_id, mode=mode, dry_run=dry_run)
+        cat.last_commit_stats.clear()  # stats are per-run
         t0 = time.time()
         stage_rows: list[tuple] = []
         self._pending_stores: list[tuple] = []
@@ -639,6 +643,23 @@ class IDRPipeline:
                 else:
                     cat.delete_insert(st_name, st_df, keys=st_keys, bucket_col=st_bucket)
             self._pending_stores = []
+            # store-commit observability: how much of each bucketed table this
+            # run actually rewrote (≙ Iceberg snapshot summary changed-
+            # partition counts) — INCR health is "fraction ≪ 1".
+            res.store_commits = dict(cat.last_commit_stats)
+            if res.store_commits and not dry_run:
+                cat.append(
+                    "store_commit_metrics",
+                    spark.createDataFrame(
+                        [
+                            (run_id, t, s_["n_buckets"], s_["touched_buckets"],
+                             s_["rewritten_fraction"], run_ts)
+                            for t, s_ in res.store_commits.items()
+                        ],
+                        "run_id string, table_name string, n_buckets int, touched_buckets int, "
+                        "rewritten_fraction double, run_ts timestamp",
+                    ),
+                )
 
             if not dry_run:
                 wm_updates = (

@@ -64,6 +64,14 @@ def build_session(
         .config("spark.io.compression.codec", "zstd")
         .config("spark.io.compression.zstd.level", "1")
     )
+    # ad-hoc conf injection for experiments/deployments without code changes:
+    # SPARK_GRAFT_EXTRA_CONF="spark.foo=1;spark.bar=2"
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if env_conf:
+        for kv in env_conf.split(";"):
+            if "=" in kv:
+                k, v = kv.split("=", 1)
+                builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

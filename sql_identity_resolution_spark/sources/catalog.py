@@ -69,6 +69,11 @@ class Catalog:
         # rewritten slices per delta). Existing tables always keep the modulus
         # recorded in their pointer (see _table_buckets).
         self.table_buckets = dict(table_buckets or {})
+        # per-table stats of the LAST bucketed commit this Catalog performed
+        # ({table: {n_buckets, touched_buckets, rewritten_fraction}}) — the
+        # pipeline surfaces these as store-commit metrics (≙ Iceberg snapshot
+        # summary's changed-partition-count).
+        self.last_commit_stats: dict[str, dict] = {}
         os.makedirs(warehouse, exist_ok=True)
 
     def _table_buckets(self, name: str, meta: dict | None) -> int:
@@ -215,6 +220,12 @@ class Catalog:
             )
         os.replace(tmp, self._pointer_path(name))
         self._vacuum(name, keep=version)
+        rewrote = len(touched) if touched is not None else len(written)
+        self.last_commit_stats[name] = {
+            "n_buckets": n_buckets,
+            "touched_buckets": rewrote,
+            "rewritten_fraction": round(rewrote / n_buckets, 4) if n_buckets else 1.0,
+        }
 
     def overwrite(self, name: str, df: DataFrame, bucket_col: str | None = None) -> None:
         if bucket_col is not None:
