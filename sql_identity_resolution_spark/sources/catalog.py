@@ -191,10 +191,16 @@ class Catalog:
         out = os.path.join(tdir, version)
         # repartition ON the bucket before partitionBy: otherwise every task
         # opens a writer per bucket it sees (shuffle_partitions × n_buckets
-        # small files + per-task partition sort — measured 3× slower commits)
+        # small files + per-task partition sort — measured 3× slower commits).
+        # Task count = touched-bucket count (a 48-bucket delta merge is a
+        # 48-task job, not an n_buckets-task job), capped at 4× parallelism
+        # for big initial writes — hash-aligned, so a task still writes only
+        # its own buckets (n/k writers per task, k chosen so that stays ≤~4).
+        k = len(touched) if touched is not None else n_buckets
+        k = max(1, min(n_buckets, k, 4 * max(8, self.spark.sparkContext.defaultParallelism)))
         (
             df.withColumn("_bucket", self._bucket_expr(bucket_col, n_buckets))
-            .repartition(n_buckets, "_bucket")
+            .repartition(k, "_bucket")
             .write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(out)
