@@ -151,7 +151,16 @@ class EngineConfig:
     trust: list[SourceTrust] = field(default_factory=list)
     max_iters: int = 30  # reference default MAX_ITERS (idr_run.py:37)
     cc_algorithm: str = "auto"  # hash_min | star | auto (star above threshold)
-    cc_star_threshold_edges: int = 5_000_000
+    # above this edge count `auto` skips the hash-min probe and goes straight
+    # to large/small-star. Measured on a 9.46M-edge reference-shaped graph
+    # (400k-conv corpus, local[16]): hash-min converged in 4 rounds at 24.2 s
+    # vs star's 42.4 s for the same labels — a hash-min round is ~2 shuffles
+    # vs star's ~8, and the probe is never wasted (its partial labels are a
+    # valid contraction the star fallback runs on — operators/graph.py). The
+    # probe only loses when the graph needs near-all of hash_min_budget rounds
+    # AND still escalates, bounded at ~2 star-rounds of extra cost, so the
+    # threshold sits high; tune per workload.
+    cc_star_threshold_edges: int = 100_000_000
     # CC rounds fused per Spark job: materialize + convergence-check every k
     # rounds (k=1 ≙ reference's per-iteration check; k>1 trades ≤k−1 extra
     # rounds for fewer job round-trips/materializations — see operators/graph.py)

@@ -63,10 +63,19 @@ def cluster_confidence(sizes: DataFrame, edge_stats: DataFrame, run_ts) -> DataF
     # (agg + probe side), and with AQE + bucketed-table scans the reused
     # exchange can coalesce to different partition counts on each reference
     # (observed "Can't zip RDDs with unequal numbers of partitions" on
-    # Spark 4.1.2 with 256-bucket inputs); the scalar also avoids computing
-    # ``density`` twice. One 1-row driver round-trip per run — same class as
-    # the run_state read.
-    md = density.agg(F.greatest(F.lit(1), F.max("edge_diversity")).alias("m")).first()["m"]
+    # Spark 4.1.2 with 256-bucket inputs). One 1-row driver round-trip per
+    # run — same class as the run_state read. ``density`` (one row per
+    # impacted cluster) is checkpointed FIRST with the max folded into the
+    # same job via an Observation: without it the scalar agg and the
+    # downstream consumer would each execute the full membership×edges DAG —
+    # the whole upstream ran twice per run.
+    from uuid import uuid4
+
+    from pyspark.sql import Observation
+
+    obs = Observation(f"max_div_{uuid4().hex[:8]}")
+    density = density.observe(obs, F.max("edge_diversity").alias("m")).localCheckpoint(eager=True)
+    md = max(int(obs.get["m"] or 0), 1)
     cd = density.withColumn("max_div", F.lit(int(md)))
     return cd.select(
         "resolved_id",

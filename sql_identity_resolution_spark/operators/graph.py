@@ -328,7 +328,7 @@ def connected_components(
     max_iters: int = 30,
     checkpoint_every: int = 1,
     edge_count_hint: int | None = None,
-    star_threshold: int = 5_000_000,
+    star_threshold: int = 100_000_000,
     hash_min_budget: int = 8,
 ) -> CCResult:
     """``auto`` (the production default) is a hybrid: graphs shaped like the
@@ -336,8 +336,11 @@ def connected_components(
     (benchmark-results.md:35), so try that first within ``hash_min_budget``;
     a graph whose diameter exceeds the budget (long merge chains) escalates
     to large-star/small-star, whose round count is O(log²) regardless of
-    diameter. Above ``star_threshold`` edges skip the probe — at that size
-    even 8 wasted hash-min rounds are expensive shuffles."""
+    diameter. Above ``star_threshold`` edges skip the probe. The threshold
+    sits high because the probe is cheap AND never wasted: a hash-min round
+    is ~2 shuffles vs a star round's ~8 (measured 24.2 s vs 42.4 s to
+    convergence on the same 9.46M-edge graph, local[16]), and on escalation
+    the probe's partial labels contract the graph the star loop runs on."""
     if algorithm == "auto":
         n = edge_count_hint if edge_count_hint is not None else edges.count()
         if n > star_threshold:

@@ -71,6 +71,19 @@ _RUN_STATE_SCHEMA = (
 )
 
 
+def _ckpt_count(df: DataFrame, name: str) -> tuple[DataFrame, int]:
+    """Eager localCheckpoint with the row count folded into the SAME job via
+    an Observation — every materialize-then-count pair in the run would
+    otherwise cost a second action (a scheduler barrier that prices in as
+    parallelism-independent time: ~40 sequential actions per run is the
+    largest Amdahl term the scaling bench sees). Returns (checkpointed, n)."""
+    from pyspark.sql import Observation
+
+    obs = Observation(f"{name}_{uuid.uuid4().hex[:8]}")
+    out = df.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+    return out, int(obs.get["n"])
+
+
 class ConvergenceError(RuntimeError):
     """Raised when label propagation fails to converge within max_iters.
 
@@ -282,8 +295,7 @@ class IDRPipeline:
         # -------- entities delta (stage 10)
         with stage("entity_extraction") as s:
             entities_delta = extract.build_entities_delta(spark, cfg, run_id, mode, last_wm, loaded)
-            entities_delta = entities_delta.localCheckpoint(eager=True)
-            res.entities_processed = entities_delta.count()
+            entities_delta, res.entities_processed = _ckpt_count(entities_delta, "entities")
             s.rows(res.entities_processed)
 
         # -------- identifiers (stage 11) + exclusions + identifier store
@@ -302,8 +314,9 @@ class IDRPipeline:
                     excl_obs, F.count(F.lit(1)).alias("n_input")
                 )
             identifiers_delta = extract.apply_exclusions(spark, identifiers_delta, cfg)
-            identifiers_delta = identifiers_delta.localCheckpoint(eager=True)
-            n_delta_ids = identifiers_delta.count()
+            # output count folds into the SAME checkpoint job (second
+            # Observation) — no separate count() pass over the delta
+            identifiers_delta, n_delta_ids = _ckpt_count(identifiers_delta, "identifiers")
             if excl_obs is not None:
                 res.values_excluded = excl_obs.get["n_input"] - n_delta_ids
                 if res.values_excluded:
@@ -328,7 +341,12 @@ class IDRPipeline:
                     cfg,
                 ),
             )
-            res.identifiers_extracted = identifiers_filtered.count()
+            if identifiers_filtered is identifiers_delta:
+                # FULL / first-run: the store view IS the (already counted)
+                # delta — a recount would rescan the whole table for a metric
+                res.identifiers_extracted = n_delta_ids
+            else:
+                res.identifiers_extracted = identifiers_filtered.count()
             s.rows(res.identifiers_extracted)
 
         # -------- edges (stage 20)
@@ -343,8 +361,7 @@ class IDRPipeline:
             members = members.repartition(*blocking.BLOCK_KEY).localCheckpoint(eager=True)
             sizes = blocking.group_stats(members).localCheckpoint(eager=True)
             valid, skipped = blocking.split_by_group_size(spark, cfg, sizes, run_id)
-            skipped = skipped.localCheckpoint(eager=True)
-            res.groups_skipped = skipped.count()
+            skipped, res.groups_skipped = _ckpt_count(skipped, "skipped")
             if res.groups_skipped:
                 res.warnings.append(
                     f"{res.groups_skipped} identifier groups skipped (exceeded max_group_size)"
@@ -440,14 +457,12 @@ class IDRPipeline:
                         F.lit(1.0).alias("score"),
                     )
                     scored_pairs = scored_pairs.unionByName(dup_scored)
-                scored_pairs = scored_pairs.localCheckpoint(eager=True)
-                res.candidate_pairs_scored = scored_pairs.count()
+                scored_pairs, res.candidate_pairs_scored = _ckpt_count(scored_pairs, "scored_pairs")
                 edges_new = edges_exact.unionByName(scoring.scored_edges(scored_pairs, run_ts))
             else:
                 edges_new = edges_exact
 
-            edges_new = edges_new.localCheckpoint(eager=True)
-            res.edges_created = edges_new.count()
+            edges_new, res.edges_created = _ckpt_count(edges_new, "edges_new")
             s.rows(res.edges_created)
 
         # -------- merge edges (S5) / dry-run view
@@ -456,8 +471,16 @@ class IDRPipeline:
         ]
         edges_schema = schema_str(_EDGE_SCHEMA, spark)
         if mode == "FULL" and not dry_run:
-            cat.overwrite(T_EDGES, edges_new, bucket_col="left_entity_key")
-            edges_current = cat.read(T_EDGES)
+            # the checkpointed edges ARE the post-overwrite content: consume
+            # them in-memory (LP reads the edge set 2-3×; a parquet write +
+            # re-read here puts ~2 table scans back on the critical path) and
+            # defer the physical overwrite to the output_write batch flush.
+            # Resume-safe: run_state advances only after the flush, so an
+            # interrupted run re-derives the same edges idempotently.
+            self._pending_stores.append(
+                (T_EDGES, "overwrite", edges_new, edge_keys, "left_entity_key")
+            )
+            edges_current = edges_new
         elif dry_run:
             prior = cat.read(T_EDGES, edges_schema)
             if mode == "FULL":
@@ -514,8 +537,8 @@ class IDRPipeline:
                     f"{cc.iterations} iterations (algorithm={cfg.cc_algorithm}, "
                     f"max_iters={cfg.max_iters}); no membership was published"
                 )
-            labels = cc.labels.localCheckpoint(eager=True)
-            s.rows(labels.count())
+            labels, n_labels = _ckpt_count(cc.labels, "labels")
+            s.rows(n_labels)
 
         # -------- membership + clusters (stages 40/41/42)
         with stage("membership_update") as s:
@@ -523,20 +546,30 @@ class IDRPipeline:
             updates = updates.localCheckpoint(eager=True)
             if not dry_run:
                 if mode == "FULL":
-                    cat.overwrite(T_MEMBERSHIP, updates, bucket_col="entity_key")
+                    # same deferral as T_EDGES: the checkpointed updates ARE
+                    # the post-overwrite table; keep the sink write out of the
+                    # critical path (cluster sizes/confidence/golden all read
+                    # membership 2-3×)
+                    self._pending_stores.append(
+                        (T_MEMBERSHIP, "overwrite", updates, ["entity_key"], "entity_key")
+                    )
+                    membership_view = updates
                 else:
                     cat.merge_upsert(T_MEMBERSHIP, updates, keys=["entity_key"], bucket_col="entity_key")
-                membership_view = cat.read(T_MEMBERSHIP)
+                    membership_view = cat.read(T_MEMBERSHIP)
             else:
                 membership_view = updates
             impacted_ids = membership.impacted_resolved_ids(updates)
             csizes = membership.cluster_sizes(membership_view, impacted_ids, run_ts)
             estats = confidence.cluster_edge_stats(membership_view, edges_current, impacted_ids)
-            conf = confidence.cluster_confidence(csizes, estats, run_ts).localCheckpoint(eager=True)
-            res.clusters_impacted = conf.count()
+            conf, res.clusters_impacted = _ckpt_count(
+                confidence.cluster_confidence(csizes, estats, run_ts), "confidence"
+            )
             if not dry_run:
                 if mode == "FULL":
-                    cat.overwrite(T_CLUSTERS, conf, bucket_col="resolved_id")
+                    self._pending_stores.append(
+                        (T_CLUSTERS, "overwrite", conf, ["resolved_id"], "resolved_id")
+                    )
                 else:
                     cat.delete_insert(T_CLUSTERS, conf, keys=["resolved_id"], bucket_col="resolved_id")
             s.rows(res.clusters_impacted)
@@ -560,11 +593,12 @@ class IDRPipeline:
                     ),
                 )
                 gold = golden.golden_updates(spark, cfg, entities_all, membership_view, impacted_ids, run_ts)
-                gold = gold.localCheckpoint(eager=True)
-                n_gold = gold.count()
+                gold, n_gold = _ckpt_count(gold, "golden")
                 if not dry_run:
                     if mode == "FULL":
-                        cat.overwrite(T_GOLDEN, gold, bucket_col="resolved_id")
+                        self._pending_stores.append(
+                            (T_GOLDEN, "overwrite", gold, ["resolved_id"], "resolved_id")
+                        )
                     else:
                         cat.delete_insert(T_GOLDEN, gold, keys=["resolved_id"], bucket_col="resolved_id")
                 s.rows(n_gold)

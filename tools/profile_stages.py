@@ -33,9 +33,12 @@ def main(convs: int = 50_000, cpus: int = 16) -> None:
     try:
         spark = build_session(app_name="idr-profile", master=f"local[{cpus}]")
         turns_path = os.path.join(tmp, "turns")
-        generate_transcripts_spark(spark, n_conversations=convs, seed=42).drop(
+        gen = generate_transcripts_spark(spark, n_conversations=convs, seed=42).drop(
             "truth_cluster_id"
-        ).write.parquet(turns_path)
+        )
+        if os.environ.get("IDR_PROFILE_CLUSTERED"):
+            gen = gen.repartition(64, "conv_id").sortWithinPartitions("conv_id", "turn_idx")
+        gen.write.parquet(turns_path)
 
         source, rules, mappings = transcripts_source("chat", turns_path)
         cfg = EngineConfig(
@@ -44,6 +47,11 @@ def main(convs: int = 50_000, cpus: int = 16) -> None:
         )
         if os.environ.get("IDR_PROFILE_ALL_PAIRS_MAX"):
             cfg.scored_all_pairs_max = int(os.environ["IDR_PROFILE_ALL_PAIRS_MAX"])
+        if os.environ.get("IDR_PROFILE_STAR_THRESHOLD"):
+            cfg.cc_star_threshold_edges = int(os.environ["IDR_PROFILE_STAR_THRESHOLD"])
+        if os.environ.get("IDR_PROFILE_CLUSTERED"):
+            source, rules, mappings = transcripts_source("chat", turns_path, clustered=True)
+            cfg.sources = [source]
         import time
 
         t0 = time.time()
@@ -88,6 +96,13 @@ def main(convs: int = 50_000, cpus: int = 16) -> None:
         detail.sort(key=lambda d: -d["task_s"])
         print(json.dumps({
             "convs": convs, "cpus": cpus, "wall_s": round(wall, 1),
+            "counts": {
+                "entities": res.entities_processed,
+                "identifiers": res.identifiers_extracted,
+                "pairs_scored": res.candidate_pairs_scored,
+                "edges": res.edges_created,
+                "lp_iterations": res.lp_iterations,
+            },
             "pipeline_stage_seconds": res.stage_seconds,
             "per_group": {k: {m: round(v, 1) for m, v in a.items()} for k, a in sorted(agg.items())},
             "top_stages": detail[:25],
