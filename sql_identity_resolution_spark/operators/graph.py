@@ -150,8 +150,13 @@ def _hash_min_lp_long(nodes: DataFrame, edges: DataFrame, max_iters: int, checkp
     """Min-label propagation on long ids; see hash_min_lp for the contract."""
     from pyspark.sql import Observation
 
-    und = edges.select(F.col("left_nid").alias("src"), F.col("right_nid").alias("dst")).union(
-        edges.select(F.col("right_nid").alias("src"), F.col("left_nid").alias("dst"))
+    # parallel edges are common (the same pair matches under several rules /
+    # identifier types — exact sig keys AND a passing LSH score); topology is
+    # all CC needs, so dedup ONCE on the 16-byte long pair before the loop —
+    # every round's neighbor join and groupBy shrinks by the multiplicity
+    dedup = edges.select("left_nid", "right_nid").distinct()
+    und = dedup.select(F.col("left_nid").alias("src"), F.col("right_nid").alias("dst")).union(
+        dedup.select(F.col("right_nid").alias("src"), F.col("left_nid").alias("dst"))
     ).repartition("dst").localCheckpoint(eager=True)
     labels = nodes.select("nid", F.col("nid").alias("lid")).localCheckpoint(eager=True)
     iterations = 0

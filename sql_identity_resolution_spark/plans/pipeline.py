@@ -671,11 +671,26 @@ class IDRPipeline:
             # flush deferred store commits BEFORE the watermark advances: an
             # interrupted flush re-derives and re-merges the same delta next
             # run (idempotent delete+insert), never losing entities.
-            for st_name, st_op, st_df, st_keys, st_bucket in self._pending_stores:
+            # each pending store targets its own table dir/pointer, and every
+            # frame is already checkpointed — submit the write jobs from a
+            # small thread pool so Spark schedules them concurrently (the
+            # writes are IO-heavy with idle cores between stages; overlapping
+            # them cuts the flush wall time at every parallelism level)
+            def _flush(entry):
+                st_name, st_op, st_df, st_keys, st_bucket = entry
                 if st_op == "overwrite":
                     cat.overwrite(st_name, st_df, bucket_col=st_bucket)
                 else:
                     cat.delete_insert(st_name, st_df, keys=st_keys, bucket_col=st_bucket)
+
+            if len(self._pending_stores) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=min(4, len(self._pending_stores))) as ex:
+                    list(ex.map(_flush, self._pending_stores))
+            else:
+                for entry in self._pending_stores:
+                    _flush(entry)
             self._pending_stores = []
             # store-commit observability: how much of each bucketed table this
             # run actually rewrote (≙ Iceberg snapshot summary changed-
