@@ -84,14 +84,16 @@ def run_bench(n_conversations: int | None = None) -> dict:
         write_parquet(gen.turns, os.path.join(turns_dir, "base.parquet"))
         n_turns = len(gen.turns)
         source, rules, mappings = transcripts_source("chat", turns_dir)
-        # big fact/store tables get more buckets than the 32 default so the
+        # the per-entity stores get more buckets than the 32 default so the
         # INCR delta's MERGE rewrites a small table FRACTION (a k-key delta
         # touches ≤k buckets ⇒ ~k/n of table bytes) — the sizing rule
-        # documented in sources/catalog.py, demonstrated here
-        big = {t: 256 for t in (
-            "identity_edges_current", "identity_resolved_membership_current",
-            "identifiers_current", "entity_texts_current",
-        )}
+        # documented in sources/catalog.py, demonstrated here (48/256 buckets
+        # rewritten for a 50-conversation delta). Edges/membership stay at the
+        # 32 default: impacted-recluster semantics legitimately touch most
+        # clusters on this dup-chained corpus (measured 181/256 and 256/256),
+        # so extra buckets there buy no pruning and cost tiny-file overhead
+        # at bench scale.
+        big = {t: 256 for t in ("identifiers_current", "entity_texts_current")}
         cfg = EngineConfig(
             warehouse=f"{tmp}/wh", sources=[source], rules=rules, mappings=mappings,
             # R_FULL_TEXT_EXACT already links identical texts; skip redundant dup pairs
@@ -134,6 +136,7 @@ def run_bench(n_conversations: int | None = None) -> dict:
             "entities_processed": res_i.entities_processed,
             "edges_created": res_i.edges_created,
             "delta_turns_per_sec": round(len(delta_turns) / incr_sec, 1),
+            "stage_seconds": res_i.stage_seconds,
             # fraction of each bucketed table this INCR actually rewrote
             "store_commits": res_i.store_commits,
         }
