@@ -25,6 +25,25 @@ SCORING_TEXT_MAX_CHARS = 1500  # shuffle bound: texts attach to EVERY candidate
 # negligible score drift for an 8x smaller pair shuffle at scale.
 
 
+def _int_tokens(capped_text_col):
+    """Distinct whitespace tokens hashed to int32 — the token-set
+    representation BOTH scoring paths share (bit-identical scores between
+    them). The default scorer compares token SETS — hash tokens to int32 on
+    the ENTITY side (one pass over entities) and ship compact arrays instead
+    of raw text: element width IS shuffle width, so 4-byte tokens halve it vs
+    int64 (31 usable bits — ANSI mode forbids the overflowing 64→32 cast, so
+    mask first). A truncation collision needs two distinct tokens of the SAME
+    pair to collide (~|L|·|R|/2^31 ≈ 3e-5 for transcript sizes) and then
+    shifts |∩| by 1 — orders of magnitude inside the threshold margin, and
+    deterministic across runs/parallelism."""
+    return F.array_distinct(
+        F.transform(
+            F.filter(F.split(capped_text_col, " "), lambda t: F.length(t) > 0),
+            lambda t: F.xxhash64(t).bitwiseAND(F.lit(0x7FFFFFFF)).cast("int"),
+        )
+    )
+
+
 def score_candidate_pairs(
     pairs: DataFrame,
     entity_texts: DataFrame,
@@ -81,23 +100,7 @@ def score_candidate_pairs(
 
     capped = F.substring(F.col(text_col), 1, SCORING_TEXT_MAX_CHARS)
     if jvm_only:
-        # the default scorer compares token SETS — hash tokens to int32 on the
-        # ENTITY side (one pass over entities) and ship compact arrays to the
-        # pair join instead of raw text. The token arrays dominate the
-        # pipeline's biggest shuffle (they attach to every candidate pair
-        # twice), so element width IS shuffle width: 4-byte tokens halve it
-        # vs int64 (31 usable bits — ANSI mode forbids the overflowing
-        # 64→32 cast, so mask first). A truncation collision needs two
-        # distinct tokens of the SAME pair to collide (~|L|·|R|/2^31 ≈ 3e-5
-        # for transcript sizes) and then shifts |∩| by 1 — orders of
-        # magnitude inside the threshold margin, and deterministic across
-        # runs/parallelism.
-        rep = F.array_distinct(
-            F.transform(
-                F.filter(F.split(capped, " "), lambda t: F.length(t) > 0),
-                lambda t: F.xxhash64(t).bitwiseAND(F.lit(0x7FFFFFFF)).cast("int"),
-            )
-        )
+        rep = _int_tokens(capped)
     else:
         rep = capped
     lt = entity_texts.select(F.col("entity_key").alias("left_entity_key"), rep.alias("_lt"))
@@ -135,6 +138,99 @@ def score_candidate_pairs(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.drop("_lt", "_rt")
+
+
+def score_candidate_pairs_grouped(
+    pairs: DataFrame,
+    entity_texts: DataFrame,
+    text_col: str = "match_text",
+    rule_meta: dict[str, tuple[float, str]] | None = None,
+) -> DataFrame:
+    """Block-grouped variant of :func:`score_candidate_pairs` for the
+    token_jaccard scorer (falls back is the caller's job for other scorers).
+
+    The classic path attaches both token arrays to EVERY pair row via two
+    equi-joins — the second join reshuffles the pair stream already carrying
+    one array, so each entity's tokens cross the wire once per pair it
+    appears in. Here the deduped pairs are cogrouped with a per-block ROSTER
+    of (entity, tokens): an entity's array ships once per block it has kept
+    pairs in (within an all-pairs block of size k that serves up to k·(k−1)/2
+    pairs), and a vectorized per-block kernel computes |∩| over Python int
+    sets. Scores are BIT-IDENTICAL to the classic path: both paths share the
+    `_int_tokens` representation (same xxhash64&0x7FFFFFFF token ints), the
+    same pair-dedup (MIN block provenance), and the same inner-join semantics
+    (a pair with an entity absent from entity_texts is dropped).
+
+    At 10^9+ entities this is also the shape that survives: the cogroup
+    shuffles pairs (skinny) + roster (arrays once per block-incidence), both
+    partitioned by block key — never the pair×array product."""
+    import pandas as pd
+
+    spark = pairs.sparkSession
+    assert rule_meta, "grouped scoring requires rule_meta"
+    uniq = pairs.groupBy("rule_id", "left_entity_key", "right_entity_key").agg(
+        F.min("identifier_type").alias("identifier_type"),
+        F.min("identifier_value_norm").alias("identifier_value_norm"),
+    )
+    capped = F.substring(F.col(text_col), 1, SCORING_TEXT_MAX_CHARS)
+    toks = entity_texts.select("entity_key", _int_tokens(capped).alias("_toks"))
+    # the roster derives FROM uniq — alias the group key to a fresh attribute
+    # so the cogroup isn't an ambiguous self-join
+    roster = (
+        uniq.select(
+            F.col("identifier_value_norm").alias("block_key"),
+            F.col("left_entity_key").alias("entity_key"),
+        )
+        .unionByName(
+            uniq.select(
+                F.col("identifier_value_norm").alias("block_key"),
+                F.col("right_entity_key").alias("entity_key"),
+            )
+        )
+        .distinct()
+        .join(toks, "entity_key", "inner")
+    )
+
+    out_schema = (
+        "rule_id string, left_entity_key string, right_entity_key string, "
+        "identifier_type string, identifier_value_norm string, score double"
+    )
+
+    def _score_block(key, pairs_pdf, roster_pdf):
+        tok = {e: frozenset(t) for e, t in zip(roster_pdf["entity_key"], roster_pdf["_toks"])}
+        rows = {c: [] for c in (
+            "rule_id", "left_entity_key", "right_entity_key",
+            "identifier_type", "identifier_value_norm", "score",
+        )}
+        for rid, l, r, ityp, ival in zip(
+            pairs_pdf["rule_id"], pairs_pdf["left_entity_key"], pairs_pdf["right_entity_key"],
+            pairs_pdf["identifier_type"], pairs_pdf["identifier_value_norm"],
+        ):
+            lt = tok.get(l)
+            rt = tok.get(r)
+            if lt is None or rt is None:  # ≙ classic path's INNER text joins
+                continue
+            inter = len(lt & rt)
+            denom = len(lt) + len(rt) - inter
+            score = 1.0 if denom == 0 else inter / denom
+            rows["rule_id"].append(rid)
+            rows["left_entity_key"].append(l)
+            rows["right_entity_key"].append(r)
+            rows["identifier_type"].append(ityp)
+            rows["identifier_value_norm"].append(ival)
+            rows["score"].append(score)
+        return pd.DataFrame(rows)
+
+    scored = (
+        uniq.groupby("identifier_value_norm")
+        .cogroup(roster.groupby("block_key"))
+        .applyInPandas(_score_block, schema=out_schema)
+    )
+    meta_df = spark.createDataFrame(
+        [(rid, float(t), s) for rid, (t, s) in rule_meta.items()],
+        "rule_id string, threshold double, scorer string",
+    )
+    return scored.join(F.broadcast(meta_df), "rule_id", "inner")
 
 
 def scored_edges(scored_pairs: DataFrame, run_ts) -> DataFrame:

@@ -426,18 +426,24 @@ class IDRPipeline:
                 # join (the pair stream then never reshuffles with token
                 # arrays). FULL already knows the count; INCR pays one cheap
                 # scan of the (store ∪ delta) view.
-                n_texts = (
-                    res.entities_processed
-                    if (mode == "FULL" or delta_is_full)
-                    else texts.count()
-                )
-                scored_pairs = scoring.score_candidate_pairs(
-                    pairs,
-                    texts,
-                    scorers=scorer_names,
-                    rule_meta={r.rule_id: (float(r.threshold), r.scorer) for r in scored_rules},
-                    broadcast_texts=n_texts <= cfg.score_broadcast_max_entities,
-                )
+                rule_meta = {r.rule_id: (float(r.threshold), r.scorer) for r in scored_rules}
+                if cfg.score_grouped and set(scorer_names) <= {"token_jaccard"}:
+                    scored_pairs = scoring.score_candidate_pairs_grouped(
+                        pairs, texts, rule_meta=rule_meta
+                    )
+                else:
+                    n_texts = (
+                        res.entities_processed
+                        if (mode == "FULL" or delta_is_full)
+                        else texts.count()
+                    )
+                    scored_pairs = scoring.score_candidate_pairs(
+                        pairs,
+                        texts,
+                        scorers=scorer_names,
+                        rule_meta=rule_meta,
+                        broadcast_texts=n_texts <= cfg.score_broadcast_max_entities,
+                    )
                 if cfg.scored_dedup_identical_text and cfg.emit_duplicate_text_pairs:
                     # linear complement of the dedup: every dropped duplicate
                     # links to its fingerprint group's representative with a

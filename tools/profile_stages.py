@@ -51,6 +51,8 @@ def main(convs: int = 50_000, cpus: int = 16) -> None:
             cfg.cc_star_threshold_edges = int(os.environ["IDR_PROFILE_STAR_THRESHOLD"])
         if os.environ.get("IDR_PROFILE_NO_BROADCAST"):
             cfg.score_broadcast_max_entities = 0
+        if os.environ.get("IDR_PROFILE_GROUPED"):
+            cfg.score_grouped = True
         if os.environ.get("IDR_PROFILE_CLUSTERED"):
             source, rules, mappings = transcripts_source("chat", turns_path, clustered=True)
             cfg.sources = [source]
