@@ -180,6 +180,9 @@ def scaling_worker(turns_path: str, cpus: int) -> None:
         # network pass; here the shuffle join is the honest parallel path.
         score_broadcast_max_entities=0,
         scored_all_pairs_max=int(os.environ.get("SPARK_GRAFT_ALL_PAIRS_MAX", "64")),
+        # checkpoint_every=2 (fuse 2 CC rounds/job) was tried here and showed
+        # no benefit outside the VM's noise band — left at the default 1
+        checkpoint_every=int(os.environ.get("SPARK_GRAFT_CC_FUSE", "1")),
     )
     t0 = time.time()
     res = IDRPipeline(spark, cfg).run("FULL")
