@@ -61,16 +61,27 @@ def run_bench(n_conversations: int | None = None) -> dict:
     # warm the JVM/codegen once so per-query numbers measure the plan, not startup
     _force(QUERIES["identifier_extraction"](spark, SF_DIR))
 
+    # best-of-N per query: single runs swing ±30% on a shared VM (BENCH.md r3
+    # noise analysis); best + spread makes the JSON self-interpreting
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    spreads: dict[str, dict] = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        _force(QUERIES[name](spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(reps):
+            t0 = time.time()
+            _force(QUERIES[name](spark, SF_DIR))
+            runs.append(round(time.time() - t0, 3))
+        timings[name] = min(runs)
+        spreads[name] = {"best": min(runs), "worst": max(runs), "runs": runs}
 
     # flagship pipeline: synthetic transcripts sized to the scale factor
     from sql_identity_resolution_spark import EngineConfig, IDRPipeline
     from sql_identity_resolution_spark.datagen import generate_transcripts, write_transcripts
-    from sql_identity_resolution_spark.sources.transcripts import transcripts_source
+    from sql_identity_resolution_spark.sources.transcripts import (
+        transcripts_attributes,
+        transcripts_source,
+    )
 
     if n_conversations is None:
         n_conversations = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "4000"))
@@ -99,6 +110,9 @@ def run_bench(n_conversations: int | None = None) -> dict:
             # R_FULL_TEXT_EXACT already links identical texts; skip redundant dup pairs
             emit_duplicate_text_pairs=False,
             catalog_table_buckets=big,
+            # golden-profile survivorship over the transcript attributes —
+            # stage 50 + the attribute store must be exercised, not no-op'd
+            attributes=transcripts_attributes("chat"),
         )
         pipe = IDRPipeline(spark, cfg)
         t0 = time.time()
@@ -144,16 +158,131 @@ def run_bench(n_conversations: int | None = None) -> dict:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # INCR economics at a scale where the fixed per-run job floor (~15 Spark
+    # actions) is amortized: 100k-conversation corpus, 1% delta. At 4k convs
+    # the INCR/FULL ratio is floor-bound (~0.6, measured r3); the delta-
+    # proportional win only shows once FULL is minutes not seconds. Kept OUT
+    # of the headline total (separate campaign, not a per-query timing).
+    econ_convs = int(os.environ.get("SPARK_GRAFT_BENCH_INCR_ECON_CONVS", "100000"))
+    econ = None
+    if econ_convs > 0:
+        from pyspark.sql import functions as F
+        from sql_identity_resolution_spark.sources.datagen_spark import (
+            generate_transcripts_spark,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="idr_econ_")
+        try:
+            turns_dir = os.path.join(tmp, "turns")
+            base = generate_transcripts_spark(spark, n_conversations=econ_convs, seed=42).drop(
+                "truth_cluster_id"
+            )
+            base.repartition(64, "conv_id").sortWithinPartitions("conv_id", "turn_idx").write.parquet(turns_dir)
+            n_base_turns = spark.read.parquet(turns_dir).count()
+            source, rules, mappings = transcripts_source("chat", turns_dir)
+            cfg = EngineConfig(
+                warehouse=f"{tmp}/wh", sources=[source], rules=rules, mappings=mappings,
+                emit_duplicate_text_pairs=False,
+                attributes=transcripts_attributes("chat"),
+                catalog_table_buckets={t: 256 for t in ("identifiers_current", "entity_texts_current")},
+            )
+            pipe = IDRPipeline(spark, cfg)
+            t0 = time.time()
+            res_f = pipe.run("FULL")
+            full_sec = round(time.time() - t0, 3)
+            n_delta = max(econ_convs // 100, 50)
+            delta = (
+                generate_transcripts_spark(spark, n_conversations=n_delta, seed=43)
+                .drop("truth_cluster_id")
+                .withColumn("conv_id", F.concat(F.lit("incr_"), F.col("conv_id")))
+                .withColumn("ts", F.col("ts") + F.expr("INTERVAL 370 DAYS"))
+            )
+            delta.coalesce(4).write.mode("append").parquet(turns_dir)
+            n_delta_turns = spark.read.parquet(turns_dir).count() - n_base_turns
+            t0 = time.time()
+            res_i = pipe.run("INCR")
+            incr_sec = round(time.time() - t0, 3)
+            econ = {
+                "n_conversations": econ_convs,
+                "n_turns": n_base_turns,
+                "full_seconds": full_sec,
+                "delta_conversations": n_delta,
+                "delta_turns": n_delta_turns,
+                "incr_seconds": incr_sec,
+                "incr_over_full": round(incr_sec / full_sec, 3),
+                "incr_entities_processed": res_i.entities_processed,
+                "incr_edges_created": res_i.edges_created,
+                "incr_store_commits": res_i.store_commits,
+                "full_stage_seconds": res_f.stage_seconds,
+                "incr_stage_seconds": res_i.stage_seconds,
+            }
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     return {
         "metric": "total_bench_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_spreads": spreads,
+        "bench_reps": reps,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": int(CPUS),
         "idr": idr,
+        "incr_econ": econ,
     }
+
+
+def run_retail(n_rows: int, dense: bool = False) -> None:
+    """Reference-parity campaign: the published 10M-row EXACT-only retail
+    benchmark (BASELINE.md:10-20 — DuckDB 143 s / Snowflake 168 s / BigQuery
+    295 s / Databricks 317 s) on a corpus with the reference generator's
+    distributions (sources/datagen_retail.py). Generation is distributed and
+    EXCLUDED from the measured window (the reference times load→output on
+    pre-generated parquet too)."""
+    from sql_identity_resolution_spark.session import build_session
+    from sql_identity_resolution_spark import EngineConfig, IDRPipeline
+    from sql_identity_resolution_spark.sources.datagen_retail import (
+        generate_retail_spark,
+        retail_source,
+    )
+
+    spark = build_session(app_name="idr-retail", master=f"local[{CPUS}]")
+    corpus = tempfile.mkdtemp(prefix="idr_retail_corpus_")
+    wh = tempfile.mkdtemp(prefix="idr_retail_wh_")
+    try:
+        path = os.path.join(corpus, "customers")
+        df = generate_retail_spark(spark, n_rows, seed=42, dense=dense).drop("truth_cluster_id")
+        df.repartition(max(32, int(CPUS))).write.parquet(path)
+        actual_rows = spark.read.parquet(path).count()
+        source, rules, mappings = retail_source("retail", path)
+        cfg = EngineConfig(warehouse=wh, sources=[source], rules=rules, mappings=mappings)
+        pipe = IDRPipeline(spark, cfg)
+        t0 = time.time()
+        res = pipe.run("FULL")
+        sec = round(time.time() - t0, 3)
+        n_clusters = pipe.catalog.read("identity_clusters_current").count()
+        print(
+            json.dumps(
+                {
+                    "metric": "retail_parity_seconds",
+                    "value": sec,
+                    "unit": "sec",
+                    "corpus": "dense (published-edge-volume calibration)" if dense else "standard (committed 20m_standard.yaml config)",
+                    "rows": actual_rows,
+                    "entities_per_sec": round(actual_rows / sec, 1),
+                    "edges": res.edges_created,
+                    "clusters": n_clusters,
+                    "lp_iterations": res.lp_iterations,
+                    "stage_seconds": res.stage_seconds,
+                    "cpus": int(CPUS),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(corpus, ignore_errors=True)
+        shutil.rmtree(wh, ignore_errors=True)
 
 
 def scaling_worker(turns_path: str, cpus: int) -> None:
@@ -170,8 +299,12 @@ def scaling_worker(turns_path: str, cpus: int) -> None:
     n_turns = spark.read.parquet(turns_path).count()
     wh = tempfile.mkdtemp(prefix=f"idr_scale_wh{cpus}_")
     source, rules, mappings = transcripts_source("chat", turns_path, clustered=clustered)
+    from sql_identity_resolution_spark.sources.transcripts import transcripts_attributes
+
     cfg = EngineConfig(
         warehouse=wh, sources=[source], rules=rules, mappings=mappings,
+        # golden-profile stage included in the measured window (verdict r3 #2)
+        attributes=transcripts_attributes("chat"),
         emit_duplicate_text_pairs=False,  # exact full-text rule covers dups
         # single box: every shuffle is a page-cache memcpy, while a broadcast
         # build is driver-serial (an Amdahl term) — measured 0.470 vs 0.475
@@ -279,5 +412,9 @@ if __name__ == "__main__":
         scaling_worker(sys.argv[i + 1], int(sys.argv[i + 2]))
     elif "--scaling" in sys.argv:
         run_scaling()
+    elif "--retail" in sys.argv:
+        i = sys.argv.index("--retail")
+        n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 10_000_000
+        run_retail(n, dense="--dense" in sys.argv)
     else:
         print(json.dumps(run_bench()))

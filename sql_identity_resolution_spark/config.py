@@ -185,6 +185,15 @@ class EngineConfig:
     # pair. token_jaccard only (other scorers fall back to the classic path);
     # scores are bit-identical between the paths (shared _int_tokens rep).
     score_grouped: bool = False
+    # run the SCORED pipeline on dense long ids: entity keys and band-key
+    # strings are mapped to longs once (entity_side/block dims), every shuffle
+    # between candidate generation and edge shaping carries fixed-width ints,
+    # and strings are restored post-threshold/post-agg only. token_jaccard
+    # scorers only (others fall back to the classic string path); edges are
+    # identical to the classic path up to the deterministic choice of band
+    # provenance for multi-band pairs (MIN over 64-bit block ids instead of
+    # MIN over band-key strings). See operators/scoring.py dense section.
+    score_dense: bool = True
     # broadcast the tokenized entity-text side of the pair-scoring join when
     # the text store holds at most this many entities — the token arrays are
     # the pipeline's biggest shuffle byte source; broadcasting keeps the pair

@@ -90,9 +90,12 @@ class ConvergenceError(RuntimeError):
     The reference HARD-FAILS here (``sql/databricks/core/IDR_Run.py:493-494``
     raises on non-convergence) — publishing membership built from
     non-converged labels would silently commit wrong clusters. The failed run
-    is still recorded in run_history (status=FAILED) before raising, and no
-    production table has been touched yet at that point, so the next run
-    resumes cleanly from the prior snapshot boundary."""
+    is still recorded in run_history (status=FAILED) before raising. In FULL
+    mode every production write (including edges) is deferred to the
+    output_write flush, so nothing is published; in INCR mode only the
+    idempotent edge MERGE has run (edges are valid facts independent of
+    clustering). The watermark never advances, so the next run resumes
+    cleanly from the prior snapshot boundary."""
 
 
 @dataclass
@@ -260,6 +263,7 @@ class IDRPipeline:
         t0 = time.time()
         stage_rows: list[tuple] = []
         self._pending_stores: list[tuple] = []
+        self._ids_count_from_pointer = False
 
         def stage(name):
             class _S:
@@ -341,13 +345,15 @@ class IDRPipeline:
                     cfg,
                 ),
             )
-            if identifiers_filtered is identifiers_delta:
-                # FULL / first-run: the store view IS the (already counted)
-                # delta — a recount would rescan the whole table for a metric
-                res.identifiers_extracted = n_delta_ids
-            else:
-                res.identifiers_extracted = identifiers_filtered.count()
-            s.rows(res.identifiers_extracted)
+            # FULL / first-run: the store view IS the (already counted) delta.
+            # INCR: the post-merge total isn't knowable until the store flush
+            # commits (replaced-row count lives in the rewritten buckets), so
+            # record the delta count now and backfill the exact store total
+            # from pointer metadata after the flush — zero table-scan jobs on
+            # the INCR critical path either way.
+            res.identifiers_extracted = n_delta_ids
+            self._ids_count_from_pointer = identifiers_filtered is not identifiers_delta
+            s.rows(n_delta_ids)
 
         # -------- edges (stage 20)
         with stage("edge_building") as s:
@@ -382,6 +388,7 @@ class IDRPipeline:
             edges_exact = blocking.anchor_edges(valid, members, run_ts, salt_buckets=cfg.salt_buckets)
 
             scored_pairs = None
+            scored_hist = None  # (type, value, pair_count, score_histogram) for lineage
             has_scored = any(r.match_strategy == "SCORED" for r in cfg.active_rules())
             if has_scored:
                 texts_delta = self._entity_texts(loaded)
@@ -400,51 +407,99 @@ class IDRPipeline:
                     full_df_fn=lambda: self._entity_texts(extract.load_sources(spark, cfg)),
                 )
                 scored_rules = [r for r in cfg.active_rules() if r.match_strategy == "SCORED"]
-                scoring_members = members
-                entity_fp = None
-                if cfg.scored_dedup_identical_text:
-                    # scoring-payload fingerprint: empty texts stay unique
-                    # (an empty-vs-empty pair is not evidence of identity)
-                    entity_fp = texts.select(
-                        "entity_key",
-                        F.when(
-                            F.length(F.trim(F.col("match_text"))) > 0,
-                            F.xxhash64("match_text"),
-                        ).alias("fp"),
-                    )
-                    scoring_members = blocking.dedup_scored_members(
-                        members, entity_fp, [r.identifier_type for r in scored_rules]
-                    )
-                pairs = blocking.candidate_pairs(
-                    valid,
-                    scoring_members,
-                    salt_buckets=cfg.salt_buckets,
-                    all_pairs_max=cfg.scored_all_pairs_max,
-                )
+                scored_types = [r.identifier_type for r in scored_rules]
                 scorer_names = sorted({r.scorer for r in scored_rules})
-                # entity-count gate for broadcasting texts into the scoring
-                # join (the pair stream then never reshuffles with token
-                # arrays). FULL already knows the count; INCR pays one cheap
-                # scan of the (store ∪ delta) view.
                 rule_meta = {r.rule_id: (float(r.threshold), r.scorer) for r in scored_rules}
-                if cfg.score_grouped and set(scorer_names) <= {"token_jaccard"}:
-                    scored_pairs = scoring.score_candidate_pairs_grouped(
-                        pairs, texts, rule_meta=rule_meta
-                    )
+                # entity-count gate for broadcasting the tokenized entity side
+                # into the scoring join (the pair stream then never reshuffles
+                # with token arrays). FULL already knows the count; INCR
+                # derives an upper bound from catalog pointer metadata (prior
+                # store rows + this delta's entities) — zero extra jobs, and
+                # overestimating can only withhold a broadcast, never force
+                # an oversized one. Exact only when every active source
+                # exposes match_text AND one text row per entity (the
+                # transcripts signature source guarantees both by
+                # construction; build_entity_side enforces the latter).
+                if mode == "FULL" or delta_is_full:
+                    n_texts = res.entities_processed
                 else:
-                    n_texts = (
-                        res.entities_processed
-                        if (mode == "FULL" or delta_is_full)
-                        else texts.count()
+                    n_texts = (cat.row_count(T_ENTITY_TEXTS) or 0) + res.entities_processed
+                broadcast_texts = n_texts <= cfg.score_broadcast_max_entities
+                use_dense = cfg.score_dense and not cfg.score_grouped and set(scorer_names) <= {"token_jaccard"}
+                dup_scored = None
+                if use_dense:
+                    # ---- dense long-id path (default): fixed-width shuffles
+                    entity_side = scoring.build_entity_side(texts)
+                    if cfg.scored_dedup_identical_text:
+                        members_e = blocking.dedup_scored_members_dense(
+                            members, entity_side, scored_types
+                        )
+                    else:
+                        members_e = blocking.members_dense(members, entity_side, scored_types)
+                    rid_map = scoring.rid_map_df(spark, scored_rules)
+                    pairs_dense = blocking.candidate_pairs_dense(
+                        valid,
+                        members_e,
+                        rid_map,
+                        entity_side,
+                        salt_buckets=cfg.salt_buckets,
+                        all_pairs_max=cfg.scored_all_pairs_max,
                     )
-                    scored_pairs = scoring.score_candidate_pairs(
-                        pairs,
-                        texts,
-                        scorers=scorer_names,
-                        rule_meta=rule_meta,
-                        broadcast_texts=n_texts <= cfg.score_broadcast_max_entities,
+                    scored_dense = scoring.score_pairs_dense(
+                        pairs_dense, entity_side, rid_map, broadcast_toks=broadcast_texts
                     )
-                if cfg.scored_dedup_identical_text and cfg.emit_duplicate_text_pairs:
+                    scored_dense, res.candidate_pairs_scored = _ckpt_count(
+                        scored_dense, "scored_pairs"
+                    )
+                    block_dim = scoring.block_dim_df(
+                        valid.filter(F.col("match_strategy") == "SCORED")
+                    )
+                    scored_hist = scoring.score_histogram_dense(scored_dense, block_dim)
+                    edges_scored = scoring.scored_edges_dense(
+                        scored_dense, entity_side, block_dim, rid_map, run_ts
+                    )
+                    entity_fp = entity_side.select("entity_key", "fp")
+                else:
+                    # ---- classic string path: grouped cogroup or non-jaccard scorers
+                    scoring_members = members
+                    entity_fp = None
+                    if cfg.scored_dedup_identical_text:
+                        # scoring-payload fingerprint: empty texts stay unique
+                        # (an empty-vs-empty pair is not evidence of identity)
+                        entity_fp = texts.select(
+                            "entity_key",
+                            F.when(
+                                F.length(F.trim(F.col("match_text"))) > 0,
+                                F.xxhash64("match_text"),
+                            ).alias("fp"),
+                        )
+                        scoring_members = blocking.dedup_scored_members(
+                            members, entity_fp, scored_types
+                        )
+                    pairs = blocking.candidate_pairs(
+                        valid,
+                        scoring_members,
+                        salt_buckets=cfg.salt_buckets,
+                        all_pairs_max=cfg.scored_all_pairs_max,
+                    )
+                    if cfg.score_grouped and set(scorer_names) <= {"token_jaccard"}:
+                        scored_pairs = scoring.score_candidate_pairs_grouped(
+                            pairs, texts, rule_meta=rule_meta
+                        )
+                    else:
+                        scored_pairs = scoring.score_candidate_pairs(
+                            pairs,
+                            texts,
+                            scorers=scorer_names,
+                            rule_meta=rule_meta,
+                            broadcast_texts=broadcast_texts,
+                        )
+                    scored_pairs, res.candidate_pairs_scored = _ckpt_count(
+                        scored_pairs, "scored_pairs"
+                    )
+                    scored_hist = scoring.score_histogram(scored_pairs)
+                    edges_scored = scoring.scored_edges(scored_pairs, run_ts)
+                if cfg.scored_dedup_identical_text and cfg.emit_duplicate_text_pairs and entity_fp is not None:
                     # linear complement of the dedup: every dropped duplicate
                     # links to its fingerprint group's representative with a
                     # pre-scored 1.0 pair (identical payload ⟹ score 1.0 —
@@ -462,9 +517,13 @@ class IDRPipeline:
                         F.lit(dup_rule.scorer).alias("scorer"),
                         F.lit(1.0).alias("score"),
                     )
-                    scored_pairs = scored_pairs.unionByName(dup_scored)
-                scored_pairs, res.candidate_pairs_scored = _ckpt_count(scored_pairs, "scored_pairs")
-                edges_new = edges_exact.unionByName(scoring.scored_edges(scored_pairs, run_ts))
+                    dup_scored, n_dup = _ckpt_count(dup_scored, "dup_pairs")
+                    res.candidate_pairs_scored += n_dup
+                    scored_hist = scored_hist.unionByName(scoring.score_histogram(dup_scored))
+                    edges_scored = edges_scored.unionByName(
+                        scoring.scored_edges(dup_scored, run_ts)
+                    )
+                edges_new = edges_exact.unionByName(edges_scored)
             else:
                 edges_new = edges_exact
 
@@ -528,9 +587,12 @@ class IDRPipeline:
             if not cc.converged:
                 # HARD FAIL (≙ IDR_Run.py:493-494): no membership/cluster/golden
                 # MERGE may run on non-converged labels. Record the failed run
-                # for observability, then raise. Edges already merged are valid
-                # facts (idempotent MERGE, independent of clustering) and the
-                # watermark has NOT advanced, so the next run reprocesses the
+                # for observability, then raise. In INCR mode edges were merged
+                # eagerly above — valid facts (idempotent MERGE, independent of
+                # clustering); in FULL mode the edge overwrite is DEFERRED to
+                # the output_write flush, so a non-converged FULL run publishes
+                # no edges at all (intended: more atomic). The watermark has
+                # NOT advanced either way, so the next run reprocesses the
                 # same delta cleanly from the prior snapshot boundary.
                 res.status = "FAILED"
                 res.warnings.append(
@@ -660,8 +722,8 @@ class IDRPipeline:
                 F.col("group_size"),
                 (F.col("group_size") - F.lit(1)).alias("pair_count"),
             )
-            if scored_pairs is not None:
-                hist = scoring.score_histogram(scored_pairs).select(
+            if scored_hist is not None:
+                hist = scored_hist.select(
                     F.sha2(F.concat_ws("§", "identifier_type", "identifier_value_norm"), 256).alias("block_id"),
                     F.col("pair_count").alias("scored_pair_count"),
                     "score_histogram",
@@ -677,13 +739,19 @@ class IDRPipeline:
             # flush deferred store commits BEFORE the watermark advances: an
             # interrupted flush re-derives and re-merges the same delta next
             # run (idempotent delete+insert), never losing entities.
-            # each pending store targets its own table dir/pointer, and every
-            # frame is already checkpointed — submit the write jobs from a
-            # small thread pool so Spark schedules them concurrently (the
-            # writes are IO-heavy with idle cores between stages; overlapping
-            # them cuts the flush wall time at every parallelism level)
+            # Each pending store targets its own table dir/pointer. FULL-mode
+            # overwrite frames are already checkpointed; INCR delete_insert
+            # deltas may still hold lazy plans (recomputed here, off the hot
+            # stages) — submit the write jobs from a small thread pool so
+            # Spark schedules them concurrently (the writes are IO-heavy with
+            # idle cores between stages; overlapping them cuts the flush wall
+            # time at every parallelism level). setJobGroup is thread-local,
+            # so each worker re-tags its own thread for UI attribution.
             def _flush(entry):
                 st_name, st_op, st_df, st_keys, st_bucket = entry
+                spark.sparkContext.setJobGroup(
+                    "output_write", f"idr store flush {st_name}", False
+                )
                 if st_op == "overwrite":
                     cat.overwrite(st_name, st_df, bucket_col=st_bucket)
                 else:
@@ -698,6 +766,13 @@ class IDRPipeline:
                 for entry in self._pending_stores:
                     _flush(entry)
             self._pending_stores = []
+            if self._ids_count_from_pointer and not dry_run:
+                # INCR metric backfill: exact post-merge store total from the
+                # just-committed pointer (per-bucket footer counts) — replaces
+                # the O(table) count scan that used to run mid-extract
+                res.identifiers_extracted = (
+                    cat.row_count(T_IDENTIFIERS) or res.identifiers_extracted
+                )
             # store-commit observability: how much of each bucketed table this
             # run actually rewrote (≙ Iceberg snapshot summary changed-
             # partition counts) — INCR health is "fraction ≪ 1".

@@ -51,6 +51,20 @@ from pyspark.sql import types as T
 _POINTER = "_CURRENT"
 
 
+def _parquet_rows(path: str) -> int:
+    """Row count of a parquet dir from file footers only — driver-side metadata
+    read (O(files), no Spark job), ≙ Iceberg collecting manifest record counts
+    at commit time."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _, files in os.walk(path):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
+    return total
+
+
 class Catalog:
     def __init__(
         self,
@@ -107,6 +121,30 @@ class Catalog:
         meta = self._pointer(name)
         return meta["version"] if meta else None
 
+    def row_count(self, name: str) -> int | None:
+        """Exact current row count from pointer metadata — zero Spark jobs.
+
+        Bucketed tables maintain per-bucket counts at every commit (rewritten
+        buckets are re-counted from parquet footers, untouched buckets keep
+        their recorded counts — ≙ Iceberg snapshot summary `total-records`);
+        append tables sum per-part counts. Returns None for a missing table
+        or a legacy pointer written before counts were recorded (callers fall
+        back to a scan)."""
+        meta = self._pointer(name)
+        if meta is None:
+            return None
+        if meta.get("bucket_rows") is not None:
+            # counts are only trustworthy when every live bucket has one (a
+            # legacy pointer upgraded mid-history would miss untouched buckets)
+            if set(meta["bucket_rows"]) == set(meta.get("buckets") or {}):
+                return int(sum(meta["bucket_rows"].values()))
+            return None
+        if meta.get("part_rows") is not None:
+            return int(sum(meta["part_rows"]))
+        if meta.get("rows") is not None:
+            return int(meta["rows"])
+        return None
+
     def exists(self, name: str) -> bool:
         return self.current_version(name) is not None
 
@@ -157,7 +195,9 @@ class Catalog:
         df.write.mode("overwrite").parquet(out)
         tmp = os.path.join(tdir, f".ptr_{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as f:
-            json.dump({"version": version, "committed_at": time.time()}, f)
+            json.dump(
+                {"version": version, "rows": _parquet_rows(out), "committed_at": time.time()}, f
+            )
         os.replace(tmp, self._pointer_path(name))  # atomic publish
         self._vacuum(name, keep=version)
 
@@ -207,16 +247,20 @@ class Catalog:
         )
         written = {d.split("=", 1)[1] for d in os.listdir(out) if d.startswith("_bucket=")}
         bmap = dict((base or {}).get("buckets") or {})
+        brows = dict((base or {}).get("bucket_rows") or {})
         for b in touched or set():
             bmap.pop(str(b), None)
+            brows.pop(str(b), None)
         for b in written:
             bmap[b] = version
+            brows[b] = _parquet_rows(os.path.join(out, f"_bucket={b}"))
         tmp = os.path.join(tdir, f".ptr_{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as f:
             json.dump(
                 {
                     "version": version,
                     "buckets": bmap,
+                    "bucket_rows": brows,
                     "bucket_col": bucket_col,
                     "n_buckets": n_buckets,
                     "schema": df.schema.jsonValue(),
@@ -250,12 +294,21 @@ class Catalog:
         os.makedirs(tdir, exist_ok=True)
         meta = self._pointer(name) or {}
         parts = meta.get("parts") or ([meta["version"]] if meta.get("version") else [])
+        part_rows = meta.get("part_rows") if len(meta.get("part_rows") or []) == len(parts) else None
         version = f"v{int(time.time() * 1000):016d}_{uuid.uuid4().hex[:6]}"
-        df.write.mode("overwrite").parquet(os.path.join(tdir, version))
+        out = os.path.join(tdir, version)
+        df.write.mode("overwrite").parquet(out)
         parts.append(version)
+        if part_rows is not None:
+            part_rows = [*part_rows, _parquet_rows(out)]
+        elif len(parts) == 1:
+            part_rows = [_parquet_rows(out)]
         tmp = os.path.join(tdir, f".ptr_{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as f:
-            json.dump({"version": version, "parts": parts, "committed_at": time.time()}, f)
+            json.dump(
+                {"version": version, "parts": parts, "part_rows": part_rows,
+                 "committed_at": time.time()}, f
+            )
         os.replace(tmp, self._pointer_path(name))
 
     def _touched_buckets(self, source: DataFrame, bucket_col: str, n_buckets: int) -> set[int]:
