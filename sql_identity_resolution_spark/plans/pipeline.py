@@ -357,10 +357,21 @@ class IDRPipeline:
 
         # -------- edges (stage 20)
         with stage("edge_building") as s:
-            delta_values = blocking.delta_identifier_values(identifiers_filtered, entities_delta)
-            members = blocking.members_for_delta_values(
-                identifiers_filtered, delta_values, cfg.salt_buckets
-            )
+            if mode == "FULL" or delta_is_full:
+                # FULL: every entity is a delta entity, so delta-values ∘
+                # members-for-values is the identity on non-null identifiers —
+                # skip the 2 corpus-sized semi-joins + distinct the INCR shape
+                # needs (at 10M rows that's three avoided 40M-row shuffles)
+                members = identifiers_filtered.filter(
+                    F.col("identifier_value_norm").isNotNull()
+                ).select("table_id", "entity_key", *blocking.BLOCK_KEY)
+            else:
+                delta_values = blocking.delta_identifier_values(
+                    identifiers_filtered, entities_delta
+                )
+                members = blocking.members_for_delta_values(
+                    identifiers_filtered, delta_values, cfg.salt_buckets
+                )
             # materialize ONCE, hash-partitioned on the block key: group_sizes,
             # anchor_edges and candidate_pairs all consume members on this key
             # and reuse the exchange instead of recomputing the blocking join
@@ -429,7 +440,20 @@ class IDRPipeline:
                 dup_scored = None
                 if use_dense:
                     # ---- dense long-id path (default): fixed-width shuffles
-                    entity_side = scoring.build_entity_side(texts)
+                    # INCR: only delta-impacted block members ever get scored,
+                    # so tokenize+checkpoint just THEIR texts (semi-join) —
+                    # entity-side cost ∝ impacted set, not corpus. FULL: every
+                    # entity is a member; skip the pointless semi-join.
+                    scoring_texts = texts
+                    if mode == "INCR" and not delta_is_full:
+                        scoring_texts = texts.join(
+                            members.filter(
+                                F.col("identifier_type").isin(scored_types)
+                            ).select("entity_key").distinct(),
+                            "entity_key",
+                            "leftsemi",
+                        )
+                    entity_side = scoring.build_entity_side(scoring_texts)
                     if cfg.scored_dedup_identical_text:
                         members_e = blocking.dedup_scored_members_dense(
                             members, entity_side, scored_types
@@ -458,7 +482,18 @@ class IDRPipeline:
                     edges_scored = scoring.scored_edges_dense(
                         scored_dense, entity_side, block_dim, rid_map, run_ts
                     )
-                    entity_fp = entity_side.select("entity_key", "fp")
+                    # dup-pairs complement needs GLOBAL fingerprints (a delta
+                    # entity's identical-text representative may live outside
+                    # the impacted blocks for non-signature sources) — lazy
+                    # projection over the full text view, only materialized
+                    # when emit_duplicate_text_pairs is on; ≙ classic path
+                    entity_fp = texts.select(
+                        "entity_key",
+                        F.when(
+                            F.length(F.trim(F.col("match_text"))) > 0,
+                            F.xxhash64("match_text"),
+                        ).alias("fp"),
+                    )
                 else:
                     # ---- classic string path: grouped cogroup or non-jaccard scorers
                     scoring_members = members
