@@ -162,7 +162,6 @@ def _hash_min_lp_long(nodes: DataFrame, edges: DataFrame, max_iters: int, checkp
     iterations = 0
     converged = False
     step = max(1, checkpoint_every)
-    _pending: list[DataFrame] = []
     for i in range(max_iters):
         iterations = i + 1
         neighbor_labels = (
@@ -177,11 +176,17 @@ def _hash_min_lp_long(nodes: DataFrame, edges: DataFrame, max_iters: int, checkp
             .agg(F.min("cand").alias("lid"), F.max("cur").alias("cur"))
         )
         if (i + 1) % step and i != max_iters - 1:
-            # fused round: lazy persist — computed ONCE by the next checkpoint
-            # action (the next round references this plan twice; without the
-            # persist, fused evaluation grows exponentially in k)
-            labels = merged.select("nid", "lid").persist()
-            _pending.append(labels)
+            # fused round: LAZY localCheckpoint — no job yet (the next
+            # checkpoint action materializes the whole fused chain as one
+            # job), but the returned plan is a LogicalRDD LEAF, so Catalyst
+            # analysis stays O(round). A persist() here caches data without
+            # truncating the plan: each round references the last 2×+, and
+            # tree traversals don't memoize shared DAG nodes, so fused
+            # ANALYSIS cost grows exponentially in k (driver-side minutes at
+            # k=3 for the star variant — measured, round 4). Freed when the
+            # frame goes unreferenced (ContextCleaner), like any local
+            # checkpoint.
+            labels = merged.select("nid", "lid").localCheckpoint(eager=False)
             continue
         obs = Observation(f"lp_{i}")
         nxt = merged.observe(
@@ -190,9 +195,6 @@ def _hash_min_lp_long(nodes: DataFrame, edges: DataFrame, max_iters: int, checkp
         # the checkpoint IS the action that fills the observation
         nxt = nxt.localCheckpoint(eager=True)
         delta = obs.get["delta"]
-        for p in _pending:
-            p.unpersist(False)
-        _pending = []
         labels = nxt
         if not delta:
             converged = True
@@ -263,7 +265,6 @@ def _alternating_star_long(
     iterations = 0
     converged = False
     step = max(1, checkpoint_every)
-    _pending: list[DataFrame] = []
     for i in range(max_iters):
         iterations = i + 1
         # ---- large-star(u): emit (v, m(u)) for strictly larger neighbors v>u
@@ -277,17 +278,19 @@ def _alternating_star_long(
         self_edges = sm.select(F.col("src").alias("a"), F.col("m").alias("b")).distinct()
         small = _canon(small_edges.union(self_edges), "a", "b")
         if (i + 1) % step and i != max_iters - 1:
-            # fused round: lazy persist (see _hash_min_lp_long — the next
-            # round references this plan 4×; persist keeps it one evaluation)
-            pairs = small.persist()
-            _pending.append(pairs)
+            # fused round: LAZY localCheckpoint (see _hash_min_lp_long). The
+            # analysis blowup is far worse here — one star round references
+            # the previous round's plan ~16× (each _with_min visits its input
+            # twice, large/small each stack two of them), so persist()-only
+            # fusion costs ~16^k plan-tree traversals per analysis: measured
+            # 9+ DRIVER-side minutes at k=3 on a 12-edge chain. The lazy
+            # checkpoint truncates the analyzed plan to a leaf while still
+            # deferring execution to the next checkpoint action.
+            pairs = small.localCheckpoint(eager=False)
             continue
         obs = Observation(f"star_{i}")
         small = small.observe(obs, *_signature(small)).localCheckpoint(eager=True)
         sig = (obs.get["n"], obs.get["h"])
-        for p in _pending:
-            p.unpersist(False)
-        _pending = []
         pairs = small
         if sig == prev_sig:
             converged = True
