@@ -172,6 +172,12 @@ def run_bench(n_conversations: int | None = None) -> dict:
         )
 
         tmp = tempfile.mkdtemp(prefix="idr_econ_")
+        # the sf0.1 queries run best at 16 shuffle partitions (scheduler-bound);
+        # the 100k econ corpus is 25x that scale — resize for this section
+        # (runtime conf, scoped to it) or the pair-scoring shuffles run 4-16
+        # tasks-per-core short (measured 257 s vs 118 s edge stage at 100k)
+        prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(int(CPUS) * 2, 64)))
         try:
             turns_dir = os.path.join(tmp, "turns")
             base = generate_transcripts_spark(spark, n_conversations=econ_convs, seed=42).drop(
@@ -184,13 +190,21 @@ def run_bench(n_conversations: int | None = None) -> dict:
                 warehouse=f"{tmp}/wh", sources=[source], rules=rules, mappings=mappings,
                 emit_duplicate_text_pairs=False,
                 attributes=transcripts_attributes("chat"),
-                catalog_table_buckets={t: 256 for t in ("identifiers_current", "entity_texts_current")},
+                # bucket the per-entity stores so the delta's MERGE prunes:
+                # pruning needs |delta keys| well below bucket count (a 1%
+                # delta of 100k hashes into every one of 256 buckets — 98%
+                # rewritten, measured; 0.1% over 1024 buckets touches ~9%)
+                catalog_table_buckets={t: 1024 for t in ("identifiers_current", "entity_texts_current")},
             )
             pipe = IDRPipeline(spark, cfg)
             t0 = time.time()
             res_f = pipe.run("FULL")
             full_sec = round(time.time() - t0, 3)
-            n_delta = max(econ_convs // 100, 50)
+            # default delta 0.1%: the streaming-micro-batch shape the INCR
+            # path exists for (the 4k flagship above already covers ~1%)
+            n_delta = int(os.environ.get(
+                "SPARK_GRAFT_BENCH_INCR_ECON_DELTA", str(max(econ_convs // 1000, 50))
+            ))
             delta = (
                 generate_transcripts_spark(spark, n_conversations=n_delta, seed=43)
                 .drop("truth_cluster_id")
@@ -217,6 +231,7 @@ def run_bench(n_conversations: int | None = None) -> dict:
                 "incr_stage_seconds": res_i.stage_seconds,
             }
         finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
             shutil.rmtree(tmp, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
@@ -306,12 +321,14 @@ def scaling_worker(turns_path: str, cpus: int) -> None:
         # golden-profile stage included in the measured window (verdict r3 #2)
         attributes=transcripts_attributes("chat"),
         emit_duplicate_text_pairs=False,  # exact full-text rule covers dups
-        # single box: every shuffle is a page-cache memcpy, while a broadcast
-        # build is driver-serial (an Amdahl term) — measured 0.470 vs 0.475
-        # raw 8→32 WITH broadcast and ~4% slower absolute. On multi-executor
-        # clusters the default (broadcast small text stores) saves the
-        # network pass; here the shuffle join is the honest parallel path.
-        score_broadcast_max_entities=0,
+        # broadcast gate: left at the DEFAULT (broadcast the tokenized text
+        # side below 5M entities). Round 3 zeroed this (classic string path:
+        # broadcast measured −4% here), but on the dense path the relation
+        # inverted hard — shuffle-hash token joins 293 s vs broadcast 118 s
+        # edge stage at 100k convs (round-4 probe): the broadcast build is
+        # ~60 MB of int arrays (cheap), while forcing SHUFFLE_HASH forbids
+        # the runtime broadcast AQE would otherwise pick. Above the gate the
+        # hinted shuffle join still runs (the 10^9-entity path).
         scored_all_pairs_max=int(os.environ.get("SPARK_GRAFT_ALL_PAIRS_MAX", "64")),
         # checkpoint_every=2 (fuse 2 CC rounds/job) was tried here and showed
         # no benefit outside the VM's noise band — left at the default 1

@@ -460,6 +460,12 @@ class IDRPipeline:
                         )
                     else:
                         members_e = blocking.members_dense(members, entity_side, scored_types)
+                    # candidate generation joins members_e against itself (the
+                    # a-side and b-side of the block self-join): lazy
+                    # localCheckpoint = one evaluation of the member⋈entity
+                    # join + dedup agg, no extra action, and a leaf plan for
+                    # both references
+                    members_e = members_e.localCheckpoint(eager=False)
                     rid_map = scoring.rid_map_df(spark, scored_rules)
                     pairs_dense = blocking.candidate_pairs_dense(
                         valid,

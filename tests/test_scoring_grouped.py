@@ -53,3 +53,41 @@ def test_grouped_scoring_parity(spark, corpus):
     assert edges_g == edges_c
     assert mem_g == mem_c
     assert res_g.edges_created == res_c.edges_created
+
+
+def test_grouped_scoring_null_text_parity(spark):
+    """Entities with NULL match_text must not crash the grouped kernel
+    (frozenset(None) would raise in the executor) and must yield the same
+    edges as the classic path, where the NULL score is dropped by the
+    threshold filter."""
+    from pyspark.sql import functions as F
+
+    from sql_identity_resolution_spark.operators import scoring
+
+    pairs = spark.createDataFrame(
+        [
+            ("r1", "a", "b", "minhash_band", "k1"),
+            ("r1", "a", "n", "minhash_band", "k1"),  # right side NULL text
+            ("r1", "n", "b", "minhash_band", "k1"),  # left side NULL text
+            ("r1", "m", "n", "minhash_band", "k1"),  # both NULL
+        ],
+        "rule_id string, left_entity_key string, right_entity_key string, "
+        "identifier_type string, identifier_value_norm string",
+    )
+    texts = spark.createDataFrame(
+        [("a", "hello world foo"), ("b", "hello world bar"), ("n", None), ("m", None)],
+        "entity_key string, match_text string",
+    )
+    meta = {"r1": (0.3, "token_jaccard")}
+    classic = scoring.score_candidate_pairs(pairs, texts, rule_meta=meta)
+    grouped = scoring.score_candidate_pairs_grouped(pairs, texts, rule_meta=meta)
+
+    def passing(df):
+        return {
+            (r["left_entity_key"], r["right_entity_key"], r["score"])
+            for r in df.filter(F.col("score") >= F.col("threshold")).collect()
+        }
+
+    got_c, got_g = passing(classic), passing(grouped)
+    assert got_c == got_g
+    assert got_c == {("a", "b", 0.5)}  # NULL-text pairs dropped, not crashed
