@@ -330,6 +330,11 @@ def scaling_worker(turns_path: str, cpus: int) -> None:
         # the runtime broadcast AQE would otherwise pick. Above the gate the
         # hinted shuffle join still runs (the 10^9-entity path).
         scored_all_pairs_max=int(os.environ.get("SPARK_GRAFT_ALL_PAIRS_MAX", "64")),
+        # A/B knobs for scaling-campaign experiments (defaults = engine defaults)
+        score_dense=os.environ.get("SPARK_GRAFT_SCORE_DENSE", "1") != "0",
+        score_broadcast_max_entities=int(
+            os.environ.get("SPARK_GRAFT_BCAST_MAX", "5000000")
+        ),
         # checkpoint_every=2 (fuse 2 CC rounds/job) was tried here and showed
         # no benefit outside the VM's noise band — left at the default 1
         checkpoint_every=int(os.environ.get("SPARK_GRAFT_CC_FUSE", "1")),
@@ -367,23 +372,28 @@ def run_scaling() -> None:
     # so 4→16 is the pair where the HARDWARE can actually deliver 4x and
     # software efficiency is measurable. Override: SPARK_GRAFT_SCALING_CPUS=8,32
     lo, hi = (int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_CPUS", "4,16").split(","))
-    corpus_dir = tempfile.mkdtemp(prefix="idr_scaling_corpus_")
+    # SPARK_GRAFT_CORPUS_DIR: reuse one pre-generated corpus across campaign
+    # variants (dense on/off, CC fusion k) so every A/B reads the IDENTICAL
+    # bytes — and the (unmeasured) generation cost is paid once.
+    keep_dir = os.environ.get("SPARK_GRAFT_CORPUS_DIR")
+    corpus_dir = keep_dir or tempfile.mkdtemp(prefix="idr_scaling_corpus_")
     try:
-        # generate once, distributed, excluded from the measured window
-        from sql_identity_resolution_spark.session import build_session
-        from sql_identity_resolution_spark.sources.datagen_spark import generate_transcripts_spark
-
-        spark = build_session(app_name="idr-scaling-gen", master=f"local[{os.cpu_count() or 8}]")
         turns_path = os.path.join(corpus_dir, "turns")
-        turns = generate_transcripts_spark(spark, n_conversations=convs, seed=42).drop(
-            "truth_cluster_id"
-        )
-        if os.environ.get("SPARK_GRAFT_CLUSTERED", "1") != "0":
-            # production layout: bucketed + sorted by conv_id (≙ Iceberg
-            # bucket partitioning) — signature build reads it shuffle-free
-            turns = turns.repartition(64, "conv_id").sortWithinPartitions("conv_id", "turn_idx")
-        turns.write.parquet(turns_path)
-        spark.stop()
+        if not (keep_dir and os.path.exists(os.path.join(turns_path, "_SUCCESS"))):
+            # generate once, distributed, excluded from the measured window
+            from sql_identity_resolution_spark.session import build_session
+            from sql_identity_resolution_spark.sources.datagen_spark import generate_transcripts_spark
+
+            spark = build_session(app_name="idr-scaling-gen", master=f"local[{os.cpu_count() or 8}]")
+            turns = generate_transcripts_spark(spark, n_conversations=convs, seed=42).drop(
+                "truth_cluster_id"
+            )
+            if os.environ.get("SPARK_GRAFT_CLUSTERED", "1") != "0":
+                # production layout: bucketed + sorted by conv_id (≙ Iceberg
+                # bucket partitioning) — signature build reads it shuffle-free
+                turns = turns.repartition(64, "conv_id").sortWithinPartitions("conv_id", "turn_idx")
+            turns.write.mode("overwrite").parquet(turns_path)
+            spark.stop()
 
         results = {}
         reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
@@ -420,7 +430,8 @@ def run_scaling() -> None:
             )
         )
     finally:
-        shutil.rmtree(corpus_dir, ignore_errors=True)
+        if not keep_dir:
+            shutil.rmtree(corpus_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
