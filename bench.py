@@ -321,19 +321,16 @@ def scaling_worker(turns_path: str, cpus: int) -> None:
         # golden-profile stage included in the measured window (verdict r3 #2)
         attributes=transcripts_attributes("chat"),
         emit_duplicate_text_pairs=False,  # exact full-text rule covers dups
-        # broadcast gate: left at the DEFAULT (broadcast the tokenized text
-        # side below 5M entities). Round 3 zeroed this (classic string path:
-        # broadcast measured −4% here), but on the dense path the relation
-        # inverted hard — shuffle-hash token joins 293 s vs broadcast 118 s
-        # edge stage at 100k convs (round-4 probe): the broadcast build is
-        # ~60 MB of int arrays (cheap), while forcing SHUFFLE_HASH forbids
-        # the runtime broadcast AQE would otherwise pick. Above the gate the
-        # hinted shuffle join still runs (the 10^9-entity path).
+        # broadcast gate: engine default (150k entities — measured crossover
+        # on this box: at 100k convs broadcast wins the token joins, at 400k
+        # it loses 64 s of edge stage at local[16]; the build is driver-serial
+        # and per-executor-materialized, so single-box broadcast only pays
+        # below ~100-150k entities. See config.score_broadcast_max_entities.)
         scored_all_pairs_max=int(os.environ.get("SPARK_GRAFT_ALL_PAIRS_MAX", "64")),
         # A/B knobs for scaling-campaign experiments (defaults = engine defaults)
         score_dense=os.environ.get("SPARK_GRAFT_SCORE_DENSE", "1") != "0",
         score_broadcast_max_entities=int(
-            os.environ.get("SPARK_GRAFT_BCAST_MAX", "5000000")
+            os.environ.get("SPARK_GRAFT_BCAST_MAX", "150000")
         ),
         # checkpoint_every=2 (fuse 2 CC rounds/job) was tried here and showed
         # no benefit outside the VM's noise band — left at the default 1

@@ -197,8 +197,15 @@ class EngineConfig:
     # broadcast the tokenized entity-text side of the pair-scoring join when
     # the text store holds at most this many entities — the token arrays are
     # the pipeline's biggest shuffle byte source; broadcasting keeps the pair
-    # stream map-side. Beyond the cap (true web scale) the shuffle join runs.
-    score_broadcast_max_entities: int = 5_000_000
+    # stream map-side. Beyond the cap the shuffle-hash join runs. Default is
+    # MEASURED on local mode: the build is driver-serial and the relation is
+    # materialized per executor, so on one box the crossover sits low — at
+    # 100k entities broadcast wins, at 400k it LOSES big (edge stage 214 s
+    # broadcast vs 151 s shuffle-hash at local[16], round-4 A/B on the same
+    # corpus). On a real multi-host cluster broadcasting also saves a NETWORK
+    # pass of the pair stream, so deployments there should raise this cap to
+    # whatever the executor memory holds (token side ≈ entities × ~0.4 KB).
+    score_broadcast_max_entities: int = 150_000
     # catalog bucket layout: default modulus for new bucketed tables + optional
     # per-table overrides (big fact tables want many buckets so a small delta's
     # MERGE rewrites a small table fraction; see sources/catalog.py sizing note)
