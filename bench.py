@@ -321,16 +321,17 @@ def scaling_worker(turns_path: str, cpus: int) -> None:
         # golden-profile stage included in the measured window (verdict r3 #2)
         attributes=transcripts_attributes("chat"),
         emit_duplicate_text_pairs=False,  # exact full-text rule covers dups
-        # broadcast gate: engine default (150k entities — measured crossover
-        # on this box: at 100k convs broadcast wins the token joins, at 400k
-        # it loses 64 s of edge stage at local[16]; the build is driver-serial
-        # and per-executor-materialized, so single-box broadcast only pays
-        # below ~100-150k entities. See config.score_broadcast_max_entities.)
+        # broadcast gate: engine default (5M entities). The entity token side
+        # broadcasts as a flat projection of the checkpointed entity frame
+        # (~150 B/entity) now that declared-unique sources skip the defensive
+        # text dedup; forcing shuffle-hash instead exchanges the pair stream
+        # twice (3.4 GB at 400k convs, measured round 4). See
+        # config.score_broadcast_max_entities.
         scored_all_pairs_max=int(os.environ.get("SPARK_GRAFT_ALL_PAIRS_MAX", "64")),
         # A/B knobs for scaling-campaign experiments (defaults = engine defaults)
-        score_dense=os.environ.get("SPARK_GRAFT_SCORE_DENSE", "1") != "0",
+        score_dense=os.environ.get("SPARK_GRAFT_SCORE_DENSE", "0") != "0",
         score_broadcast_max_entities=int(
-            os.environ.get("SPARK_GRAFT_BCAST_MAX", "150000")
+            os.environ.get("SPARK_GRAFT_BCAST_MAX", "5000000")
         ),
         # checkpoint_every=2 (fuse 2 CC rounds/job) was tried here and showed
         # no benefit outside the VM's noise band — left at the default 1

@@ -35,6 +35,17 @@ class SourceTable:
     delta_reader: Optional[Callable[[SparkSession, object], DataFrame]] = None
     watermark_lookback_minutes: int = 0
     is_active: bool = True
+    # source-declared contract: this source emits AT MOST ONE match_text row
+    # per entity key. entity_key is always table_id-prefixed (see
+    # extract.entity_key_col), so when every active text-bearing source
+    # declares this, the unioned text table is globally unique per entity and
+    # the scoring paths skip their defensive one-row-per-entity dedup — a
+    # corpus-wide sort-aggregate over full texts (measured: +2,000 task-s at
+    # 400k conversations, the single hottest avoidable plan node). Sources
+    # that derive one row per entity by construction (the transcripts
+    # signature build groups by conv_id) set it; dirty/unknown sources leave
+    # it False and pay the dedup.
+    match_text_unique: bool = False
 
     def load(self, spark: SparkSession) -> DataFrame:
         if self.reader is not None:
@@ -193,19 +204,28 @@ class EngineConfig:
     # identical to the classic path up to the deterministic choice of band
     # provenance for multi-band pairs (MIN over 64-bit block ids instead of
     # MIN over band-key strings). See operators/scoring.py dense section.
-    score_dense: bool = True
+    # DEFAULT OFF — measured round 4 at 400k conversations/local[32] on the
+    # same corpus: classic 227 s end-to-end vs dense 332-336 s. Once
+    # declared-unique sources skip the defensive text dedup, the classic
+    # path's text joins broadcast and its pair stream never re-exchanges, so
+    # the dense rewrite saves no bytes on the specified workload while paying
+    # an extra entity-side pass, id restores, and ~2x the GC. Turn it on when
+    # the entity side is too big to broadcast AND entity keys are long
+    # strings (the 10^9-entity shuffle-join regime it was built for).
+    score_dense: bool = False
     # broadcast the tokenized entity-text side of the pair-scoring join when
     # the text store holds at most this many entities — the token arrays are
     # the pipeline's biggest shuffle byte source; broadcasting keeps the pair
-    # stream map-side. Beyond the cap the shuffle-hash join runs. Default is
-    # MEASURED on local mode: the build is driver-serial and the relation is
-    # materialized per executor, so on one box the crossover sits low — at
-    # 100k entities broadcast wins, at 400k it LOSES big (edge stage 214 s
-    # broadcast vs 151 s shuffle-hash at local[16], round-4 A/B on the same
-    # corpus). On a real multi-host cluster broadcasting also saves a NETWORK
-    # pass of the pair stream, so deployments there should raise this cap to
-    # whatever the executor memory holds (token side ≈ entities × ~0.4 KB).
-    score_broadcast_max_entities: int = 150_000
+    # stream map-side (dense path: dedup output never exchanges again — the
+    # forced shuffle-hash alternative exchanges the whole pair stream TWICE,
+    # the second time carrying a token array per row: 3.4 GB vs 0 measured at
+    # 400k conversations). Beyond the cap the shuffle-hash join runs (the
+    # 10^9-entity path). An earlier round-4 A/B measured broadcast LOSING at
+    # 400k — that was an artifact of the defensive per-entity text dedup
+    # being compiled into the broadcast build side (now skipped for sources
+    # declaring match_text_unique; the build is a flat projection of the
+    # checkpointed entity frame, ~150 B/entity of int tokens).
+    score_broadcast_max_entities: int = 5_000_000
     # catalog bucket layout: default modulus for new bucketed tables + optional
     # per-table overrides (big fact tables want many buckets so a small delta's
     # MERGE rewrites a small table fraction; see sources/catalog.py sizing note)

@@ -51,6 +51,7 @@ def score_candidate_pairs(
     scorers: list[str] | None = None,
     rule_meta: dict[str, tuple[float, str]] | None = None,
     broadcast_texts: bool = False,
+    texts_unique: bool = False,
 ) -> DataFrame:
     """pairs: (rule_id, threshold, scorer, identifier_type,
     identifier_value_norm, left_entity_key, right_entity_key) — possibly with
@@ -100,8 +101,14 @@ def score_candidate_pairs(
 
     # explicit 1-row-per-entity contract (shared with the grouped path):
     # duplicate entity rows would otherwise fan out one scored row per
-    # duplicate; collapse deterministically to the MAX text
-    entity_texts = entity_texts.groupBy("entity_key").agg(F.max(text_col).alias(text_col))
+    # duplicate; collapse deterministically to the MAX text. Skipped when the
+    # caller proves uniqueness (every contributing source declares
+    # SourceTable.match_text_unique): the defensive agg is a corpus-wide
+    # sort-aggregate over FULL texts, built once per join side — the single
+    # hottest avoidable plan node at scale (+2,000 task-s / +55 s wall at
+    # 400k conversations, local[32], measured round 4).
+    if not texts_unique:
+        entity_texts = entity_texts.groupBy("entity_key").agg(F.max(text_col).alias(text_col))
     capped = F.substring(F.col(text_col), 1, SCORING_TEXT_MAX_CHARS)
     if jvm_only:
         rep = _int_tokens(capped)
@@ -163,7 +170,9 @@ def block_key_expr():
     return F.xxhash64("identifier_type", "identifier_value_norm")
 
 
-def build_entity_side(entity_texts: DataFrame, text_col: str = "match_text") -> DataFrame:
+def build_entity_side(
+    entity_texts: DataFrame, text_col: str = "match_text", texts_unique: bool = False
+) -> DataFrame:
     """One checkpointed pass over the entity-text table producing everything
     the dense path needs per entity: ``(entity_key, eid, fp, _toks)``.
 
@@ -177,14 +186,18 @@ def build_entity_side(entity_texts: DataFrame, text_col: str = "match_text") -> 
       computed once per ENTITY instead of attached per pair.
 
     The groupBy makes the 1-row-per-entity contract explicit: duplicate
-    entity_key rows (two sources exposing the same entity, or a dirty store)
-    collapse deterministically to the MAX text instead of fanning out one
-    scored row per duplicate in the pair joins."""
+    entity_key rows within a dirty source collapse deterministically to the
+    MAX text instead of fanning out one scored row per duplicate in the pair
+    joins. ``texts_unique`` (every contributing source declares
+    SourceTable.match_text_unique; cross-source collisions are impossible —
+    entity_key is table_id-prefixed) skips the defensive agg: it is a
+    corpus-wide sort-aggregate over full texts, measured as the hottest
+    avoidable node at 400k conversations."""
     capped = F.substring(F.col(text_col), 1, SCORING_TEXT_MAX_CHARS)
+    if not texts_unique:
+        entity_texts = entity_texts.groupBy("entity_key").agg(F.max(text_col).alias(text_col))
     return (
-        entity_texts.groupBy("entity_key")
-        .agg(F.max(text_col).alias(text_col))
-        .select(
+        entity_texts.select(
             "entity_key",
             F.when(F.length(F.trim(F.col(text_col))) > 0, F.xxhash64(text_col)).alias("fp"),
             _int_tokens(capped).alias("_toks"),
@@ -263,23 +276,31 @@ def scored_edges_dense(
     block_dim: DataFrame,
     rid_map: DataFrame,
     run_ts,
+    broadcast_dims: bool = False,
 ) -> DataFrame:
     """Threshold-passing dense pairs → classic string edge rows. The three
     restore joins run on the POST-threshold set (≪ candidate count); left and
     right are re-canonicalized by STRING order so edge orientation matches
-    the classic path exactly."""
+    the classic path exactly.
+
+    ``broadcast_dims`` (same gate as the token joins): broadcast the id/block
+    dimensions so the passing-pair stream is never exchanged for the
+    restores; off, the 8-byte-key shuffle-hash joins are the 10^9-entity
+    path."""
     id_map = entity_side.select("eid", "entity_key")
     passing = scored_dense.filter(F.col("score") >= F.col("threshold"))
+    if broadcast_dims:
+        lk = F.broadcast(id_map.select(F.col("eid").alias("left_eid"), F.col("entity_key").alias("_lk")))
+        rk = F.broadcast(id_map.select(F.col("eid").alias("right_eid"), F.col("entity_key").alias("_rk")))
+        bd = F.broadcast(block_dim)
+    else:
+        lk = id_map.select(F.col("eid").alias("left_eid"), F.col("entity_key").alias("_lk")).hint("shuffle_hash")
+        rk = id_map.select(F.col("eid").alias("right_eid"), F.col("entity_key").alias("_rk")).hint("shuffle_hash")
+        bd = block_dim.hint("shuffle_hash")
     restored = (
-        passing.join(
-            id_map.select(F.col("eid").alias("left_eid"), F.col("entity_key").alias("_lk")).hint("shuffle_hash"),
-            "left_eid", "inner",
-        )
-        .join(
-            id_map.select(F.col("eid").alias("right_eid"), F.col("entity_key").alias("_rk")).hint("shuffle_hash"),
-            "right_eid", "inner",
-        )
-        .join(block_dim.hint("shuffle_hash"), "bkey", "inner")
+        passing.join(lk, "left_eid", "inner")
+        .join(rk, "right_eid", "inner")
+        .join(bd, "bkey", "inner")
         .join(F.broadcast(rid_map.select("rid", "rule_id")), "rid", "inner")
     )
     return restored.select(
@@ -319,6 +340,7 @@ def score_candidate_pairs_grouped(
     entity_texts: DataFrame,
     text_col: str = "match_text",
     rule_meta: dict[str, tuple[float, str]] | None = None,
+    texts_unique: bool = False,
 ) -> DataFrame:
     """Block-grouped variant of :func:`score_candidate_pairs` for the
     token_jaccard scorer (falls back is the caller's job for other scorers).
@@ -347,15 +369,15 @@ def score_candidate_pairs_grouped(
         F.min("identifier_value_norm").alias("identifier_value_norm"),
     )
     capped = F.substring(F.col(text_col), 1, SCORING_TEXT_MAX_CHARS)
-    # same 1-row-per-entity contract as the classic path; NULL token arrays
-    # (NULL/absent match_text) are dropped from the roster so their pairs are
-    # skipped in the kernel — the classic path emits a NULL score for them
-    # which the ≥threshold filter drops, so edges are identical either way
-    toks = (
-        entity_texts.groupBy("entity_key")
-        .agg(F.max(text_col).alias(text_col))
-        .select("entity_key", _int_tokens(capped).alias("_toks"))
-        .filter(F.col("_toks").isNotNull())
+    # same 1-row-per-entity contract as the classic path (skipped when the
+    # caller proves per-source uniqueness); NULL token arrays (NULL/absent
+    # match_text) are dropped from the roster so their pairs are skipped in
+    # the kernel — the classic path emits a NULL score for them which the
+    # ≥threshold filter drops, so edges are identical either way
+    if not texts_unique:
+        entity_texts = entity_texts.groupBy("entity_key").agg(F.max(text_col).alias(text_col))
+    toks = entity_texts.select("entity_key", _int_tokens(capped).alias("_toks")).filter(
+        F.col("_toks").isNotNull()
     )
     # the roster derives FROM uniq — alias the group keys to fresh attributes
     # so the cogroup isn't an ambiguous self-join. Blocks are logically keyed

@@ -195,9 +195,19 @@ class IDRPipeline:
 
     def _entity_texts(self, loaded: dict[str, DataFrame] | None = None) -> DataFrame | None:
         """(entity_key, match_text) for similarity scoring — sources exposing a
-        match_text column (the transcripts signature source always does)."""
+        match_text column (the transcripts signature source always does).
+
+        Side effect: records on ``self._texts_unique`` whether EVERY
+        contributing source declares ``match_text_unique`` — entity_key is
+        table_id-prefixed so cross-source collisions are impossible, making
+        the union globally one-row-per-entity. The scoring paths use this to
+        skip their defensive per-entity text dedup (a corpus-wide
+        sort-aggregate over full texts). Holds for the INCR store view too:
+        prior store rows were written from the same declared-unique sources
+        and delta keys are anti-joined out before the union."""
         loaded = loaded or {}
         parts = []
+        all_unique = True
         for st in self.cfg.sources:
             if not st.is_active:
                 continue
@@ -205,12 +215,14 @@ class IDRPipeline:
             if df is None:
                 df = st.load(self.spark)
             if "match_text" in df.columns:
+                all_unique = all_unique and st.match_text_unique
                 parts.append(
                     df.select(
                         extract.entity_key_col(st.table_id, st.entity_key_expr).alias("entity_key"),
                         F.col("match_text"),
                     )
                 )
+        self._texts_unique = all_unique
         if not parts:
             return None
         out = parts[0]
@@ -264,6 +276,7 @@ class IDRPipeline:
         stage_rows: list[tuple] = []
         self._pending_stores: list[tuple] = []
         self._ids_count_from_pointer = False
+        self._texts_unique = False
 
         def stage(name):
             class _S:
@@ -429,8 +442,9 @@ class IDRPipeline:
                 # overestimating can only withhold a broadcast, never force
                 # an oversized one. Exact only when every active source
                 # exposes match_text AND one text row per entity (the
-                # transcripts signature source guarantees both by
-                # construction; build_entity_side enforces the latter).
+                # transcripts signature source declares both via
+                # match_text_unique; undeclared sources get the defensive
+                # dedup agg inside the scoring builders instead).
                 if mode == "FULL" or delta_is_full:
                     n_texts = res.entities_processed
                 else:
@@ -453,7 +467,9 @@ class IDRPipeline:
                             "entity_key",
                             "leftsemi",
                         )
-                    entity_side = scoring.build_entity_side(scoring_texts)
+                    entity_side = scoring.build_entity_side(
+                        scoring_texts, texts_unique=self._texts_unique
+                    )
                     if cfg.scored_dedup_identical_text:
                         members_e = blocking.dedup_scored_members_dense(
                             members, entity_side, scored_types
@@ -486,7 +502,8 @@ class IDRPipeline:
                     )
                     scored_hist = scoring.score_histogram_dense(scored_dense, block_dim)
                     edges_scored = scoring.scored_edges_dense(
-                        scored_dense, entity_side, block_dim, rid_map, run_ts
+                        scored_dense, entity_side, block_dim, rid_map, run_ts,
+                        broadcast_dims=broadcast_texts,
                     )
                     # dup-pairs complement needs GLOBAL fingerprints (a delta
                     # entity's identical-text representative may live outside
@@ -525,7 +542,7 @@ class IDRPipeline:
                     )
                     if cfg.score_grouped and set(scorer_names) <= {"token_jaccard"}:
                         scored_pairs = scoring.score_candidate_pairs_grouped(
-                            pairs, texts, rule_meta=rule_meta
+                            pairs, texts, rule_meta=rule_meta, texts_unique=self._texts_unique
                         )
                     else:
                         scored_pairs = scoring.score_candidate_pairs(
@@ -534,6 +551,7 @@ class IDRPipeline:
                             scorers=scorer_names,
                             rule_meta=rule_meta,
                             broadcast_texts=broadcast_texts,
+                            texts_unique=self._texts_unique,
                         )
                     scored_pairs, res.candidate_pairs_scored = _ckpt_count(
                         scored_pairs, "scored_pairs"

@@ -277,6 +277,10 @@ def transcripts_source(
         watermark_column="last_ts",
         reader=reader,
         delta_reader=delta_reader,
+        # one signature row per conv_id by construction (the signature build
+        # aggregates turns per conversation) ⇒ scoring may skip its defensive
+        # per-entity text dedup
+        match_text_unique=True,
     )
     rules = [
         Rule("R_ROLE_TOOL_EXACT", "SIG_ROLE_TOOL", "role:tool sequence exact", priority=1,

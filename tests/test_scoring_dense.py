@@ -1,6 +1,8 @@
 """Parity: dense long-id scoring ≡ classic string scoring (score_dense flag).
 
-The dense path (`EngineConfig.score_dense`, default on) must be a pure
+The dense path (`EngineConfig.score_dense`, default off — a measured
+negative at 400k conversations once the classic path's text joins broadcast;
+kept as the 10^9-entity shuffle-join regime's escape hatch) must be a pure
 execution-strategy swap: same deduped pair set, bit-identical scores (shared
 `_int_tokens` representation), same edge set and orientation, same clusters.
 The only permitted difference is the deterministic choice of band provenance
