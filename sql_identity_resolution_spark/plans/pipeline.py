@@ -452,21 +452,26 @@ class IDRPipeline:
                 broadcast_texts = n_texts <= cfg.score_broadcast_max_entities
                 use_dense = cfg.score_dense and not cfg.score_grouped and set(scorer_names) <= {"token_jaccard"}
                 dup_scored = None
+                # INCR: only delta-impacted block members ever get scored, so
+                # tokenize/broadcast just THEIR texts (semi-join) — the
+                # scoring-side text build is ∝ impacted set, not corpus (it
+                # was the largest O(corpus) cost left on the INCR path:
+                # classic scoring tokenized and broadcast the WHOLE store
+                # every micro-batch). Candidate pairs only carry entity keys
+                # from `members`, and every text attach is an INNER equi-join
+                # on those keys, so the restriction is exact. FULL: every
+                # entity is a member; skip the pointless semi-join.
+                scoring_texts = texts
+                if mode == "INCR" and not delta_is_full:
+                    scoring_texts = texts.join(
+                        members.filter(
+                            F.col("identifier_type").isin(scored_types)
+                        ).select("entity_key").distinct(),
+                        "entity_key",
+                        "leftsemi",
+                    )
                 if use_dense:
-                    # ---- dense long-id path (default): fixed-width shuffles
-                    # INCR: only delta-impacted block members ever get scored,
-                    # so tokenize+checkpoint just THEIR texts (semi-join) —
-                    # entity-side cost ∝ impacted set, not corpus. FULL: every
-                    # entity is a member; skip the pointless semi-join.
-                    scoring_texts = texts
-                    if mode == "INCR" and not delta_is_full:
-                        scoring_texts = texts.join(
-                            members.filter(
-                                F.col("identifier_type").isin(scored_types)
-                            ).select("entity_key").distinct(),
-                            "entity_key",
-                            "leftsemi",
-                        )
+                    # ---- dense long-id path: fixed-width shuffles
                     entity_side = scoring.build_entity_side(
                         scoring_texts, texts_unique=self._texts_unique
                     )
@@ -523,16 +528,26 @@ class IDRPipeline:
                     entity_fp = None
                     if cfg.scored_dedup_identical_text:
                         # scoring-payload fingerprint: empty texts stay unique
-                        # (an empty-vs-empty pair is not evidence of identity)
-                        entity_fp = texts.select(
-                            "entity_key",
-                            F.when(
-                                F.length(F.trim(F.col("match_text"))) > 0,
-                                F.xxhash64("match_text"),
-                            ).alias("fp"),
-                        )
+                        # (an empty-vs-empty pair is not evidence of identity).
+                        # Member dedup only needs fingerprints for IMPACTED
+                        # members (inner join) — hash the scoped text set; the
+                        # dup-pairs complement below needs GLOBAL fingerprints
+                        # (a delta entity's representative may live outside
+                        # the impacted blocks) — that lazy projection is built
+                        # over the full view and only ever materialized when
+                        # emit_duplicate_text_pairs is on (≙ dense branch).
+                        def _fp(tdf):
+                            return tdf.select(
+                                "entity_key",
+                                F.when(
+                                    F.length(F.trim(F.col("match_text"))) > 0,
+                                    F.xxhash64("match_text"),
+                                ).alias("fp"),
+                            )
+
+                        entity_fp = _fp(texts)
                         scoring_members = blocking.dedup_scored_members(
-                            members, entity_fp, scored_types
+                            members, _fp(scoring_texts), scored_types
                         )
                     pairs = blocking.candidate_pairs(
                         valid,
@@ -542,12 +557,12 @@ class IDRPipeline:
                     )
                     if cfg.score_grouped and set(scorer_names) <= {"token_jaccard"}:
                         scored_pairs = scoring.score_candidate_pairs_grouped(
-                            pairs, texts, rule_meta=rule_meta, texts_unique=self._texts_unique
+                            pairs, scoring_texts, rule_meta=rule_meta, texts_unique=self._texts_unique
                         )
                     else:
                         scored_pairs = scoring.score_candidate_pairs(
                             pairs,
-                            texts,
+                            scoring_texts,
                             scorers=scorer_names,
                             rule_meta=rule_meta,
                             broadcast_texts=broadcast_texts,
