@@ -318,7 +318,26 @@ def scaling_worker(turns_path: str, cpus: int) -> None:
     from sql_identity_resolution_spark.sources.transcripts import transcripts_source
 
     clustered = os.environ.get("SPARK_GRAFT_CLUSTERED", "1") != "0"
-    spark = build_session(app_name=f"idr-scaling-{cpus}", master=f"local[{cpus}]")
+    # SPARK_GRAFT_LC_EXEC_CORES=k: run the level as a MULTI-PROCESS cluster —
+    # Spark's local-cluster master launches cpus/k separate executor JVMs with
+    # k cores each, so the N→4N pair becomes literally "N executors → 4N
+    # executors" with real serialized shuffle blocks fetched between JVMs
+    # (thread-mode local[N] shares one heap and skips serialization). Same
+    # per-executor shape at both levels ≙ adding nodes to a cluster.
+    lc_cores = int(os.environ.get("SPARK_GRAFT_LC_EXEC_CORES", "0"))
+    extra_conf = {}
+    if lc_cores > 0:
+        n_exec = max(1, cpus // lc_cores)
+        exec_mem_gb = int(os.environ.get("SPARK_GRAFT_LC_EXEC_MEM_GB", "8"))
+        os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+        master = f"local-cluster[{n_exec},{lc_cores},{exec_mem_gb * 1024 + 1024}]"
+        extra_conf = {
+            "spark.executor.memory": f"{exec_mem_gb}g",
+            "spark.executorEnv.PYSPARK_PYTHON": sys.executable,
+        }
+    else:
+        master = f"local[{cpus}]"
+    spark = build_session(app_name=f"idr-scaling-{cpus}", master=master, extra_conf=extra_conf)
     n_turns = spark.read.parquet(turns_path).count()
     wh = tempfile.mkdtemp(prefix=f"idr_scale_wh{cpus}_")
     source, rules, mappings = transcripts_source("chat", turns_path, clustered=clustered)
@@ -352,6 +371,7 @@ def scaling_worker(turns_path: str, cpus: int) -> None:
         json.dumps(
             {
                 "cpus": cpus,
+                "master": master,
                 "seconds": sec,
                 "n_turns": n_turns,
                 "turns_per_sec": round(n_turns / sec, 1),
