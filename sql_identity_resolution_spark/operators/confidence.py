@@ -15,10 +15,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def cluster_edge_stats(membership: DataFrame, edges: DataFrame, impacted_ids: DataFrame) -> DataFrame:
+def cluster_edge_stats(
+    membership: DataFrame, edges: DataFrame, impacted_ids: DataFrame | None
+) -> DataFrame:
     """COUNT(DISTINCT identifier_type), COUNT(*) per impacted resolved_id over
-    edges incident to any member (sql/common/42:14-24), OR-join rewritten."""
-    m = membership.join(impacted_ids, "resolved_id", "left_semi").select("resolved_id", "entity_key")
+    edges incident to any member (sql/common/42:14-24), OR-join rewritten.
+
+    ``impacted_ids=None`` ⇒ all clusters impacted (FULL mode): skip the
+    identity semi-join (see membership.cluster_sizes)."""
+    m = membership
+    if impacted_ids is not None:
+        m = m.join(impacted_ids, "resolved_id", "left_semi")
+    m = m.select("resolved_id", "entity_key")
     e = edges.select("left_entity_key", "right_entity_key", "identifier_type")
     left_side = m.join(e, m.entity_key == e.left_entity_key, "inner").select(
         "resolved_id", "identifier_type", "left_entity_key", "right_entity_key"

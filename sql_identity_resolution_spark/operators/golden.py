@@ -76,14 +76,26 @@ def golden_updates(
     cfg: EngineConfig,
     entities_all: DataFrame,
     membership: DataFrame,
-    impacted_ids: DataFrame,
+    impacted_ids: DataFrame | None,
     run_ts,
+    cluster_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Wide golden profile for impacted clusters: one row per resolved_id,
-    one column per attribute_name (rank-1 surviving value)."""
-    members = membership.join(impacted_ids, "resolved_id", "left_semi").select(
-        "resolved_id", "entity_key"
-    )
+    one column per attribute_name (rank-1 surviving value).
+
+    ``impacted_ids=None`` ⇒ every cluster is impacted (FULL mode): the member
+    restriction semi-join is the identity and is skipped; ``cluster_ids``
+    must then supply the one-row-per-cluster dimension (the pipeline passes
+    the already-checkpointed confidence frame's ids — zero recompute)."""
+    if impacted_ids is None:
+        if cluster_ids is None:
+            raise ValueError("golden_updates: impacted_ids=None requires cluster_ids")
+        members = membership.select("resolved_id", "entity_key")
+        impacted_ids = cluster_ids.select("resolved_id")
+    else:
+        members = membership.join(impacted_ids, "resolved_id", "left_semi").select(
+            "resolved_id", "entity_key"
+        )
     ent = entities_all.join(members, "entity_key", "inner")
 
     trust_rows = [(t.table_id, int(t.trust_rank)) for t in cfg.trust if t.is_active]

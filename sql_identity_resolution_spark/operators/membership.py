@@ -31,13 +31,19 @@ def impacted_resolved_ids(updates: DataFrame) -> DataFrame:
     return updates.select("resolved_id").distinct()
 
 
-def cluster_sizes(membership: DataFrame, impacted_ids: DataFrame, run_ts) -> DataFrame:
+def cluster_sizes(membership: DataFrame, impacted_ids: DataFrame | None, run_ts) -> DataFrame:
     """COUNT(*) per impacted resolved_id over the (post-merge) membership
     (sql/common/41:8-15). ``membership`` is membership_current after the MERGE
-    in live mode, or membership_updates in dry-run (idr_run.py:527-541)."""
+    in live mode, or membership_updates in dry-run (idr_run.py:527-541).
+
+    ``impacted_ids=None`` ⇒ every cluster is impacted (FULL mode) — the
+    restriction semi-join would be the identity, so skip its corpus-wide
+    shuffle entirely."""
+    m = membership
+    if impacted_ids is not None:
+        m = m.join(impacted_ids, "resolved_id", "left_semi")
     return (
-        membership.join(impacted_ids, "resolved_id", "left_semi")
-        .groupBy("resolved_id")
+        m.groupBy("resolved_id")
         .agg(F.count(F.lit(1)).alias("cluster_size"))
         .withColumn("updated_ts", F.lit(run_ts).cast("timestamp"))
     )

@@ -331,6 +331,15 @@ class IDRPipeline:
                     excl_obs, F.count(F.lit(1)).alias("n_input")
                 )
             identifiers_delta = extract.apply_exclusions(spark, identifiers_delta, cfg)
+            if mode == "FULL" or delta_is_full:
+                # FULL: every identifier row is about to become a blocking-join
+                # member, so partition the ONE identifiers materialization on
+                # the block key here — group-stats, anchor join and candidate
+                # generation all consume exactly this partitioning, which
+                # deletes the edge stage's separate members exchange AND its
+                # second full-corpus materialization (measured: the two
+                # largest avoidable costs of the EXACT-only 10M retail run).
+                identifiers_delta = identifiers_delta.repartition(*blocking.BLOCK_KEY)
             # output count folds into the SAME checkpoint job (second
             # Observation) — no separate count() pass over the delta
             identifiers_delta, n_delta_ids = _ckpt_count(identifiers_delta, "identifiers")
@@ -375,6 +384,11 @@ class IDRPipeline:
                 # members-for-values is the identity on non-null identifiers —
                 # skip the 2 corpus-sized semi-joins + distinct the INCR shape
                 # needs (at 10M rows that's three avoided 40M-row shuffles)
+                # the identifiers checkpoint is already hash-partitioned on the
+                # block key (see identifier_extraction) — this projection is a
+                # zero-exchange in-memory scan of it, and every consumer below
+                # (group stats, anchor join, candidate pairs) inherits the
+                # partitioning; no second materialization needed
                 members = identifiers_filtered.filter(
                     F.col("identifier_value_norm").isNotNull()
                 ).select("table_id", "entity_key", *blocking.BLOCK_KEY)
@@ -385,11 +399,24 @@ class IDRPipeline:
                 members = blocking.members_for_delta_values(
                     identifiers_filtered, delta_values, cfg.salt_buckets
                 )
-            # materialize ONCE, hash-partitioned on the block key: group_sizes,
-            # anchor_edges and candidate_pairs all consume members on this key
-            # and reuse the exchange instead of recomputing the blocking join
-            members = members.repartition(*blocking.BLOCK_KEY).localCheckpoint(eager=True)
-            sizes = blocking.group_stats(members).localCheckpoint(eager=True)
+                # INCR: materialize ONCE, hash-partitioned on the block key:
+                # group_sizes, anchor_edges and candidate_pairs all consume
+                # members on this key and reuse the exchange instead of
+                # recomputing the blocking join
+                members = members.repartition(*blocking.BLOCK_KEY).localCheckpoint(eager=True)
+            # singleton blocks (one member = a unique identifier value — the
+            # overwhelming majority of distinct values at scale) produce no
+            # pairs, no edges and no skip audit: drop them BEFORE the stats
+            # materialization so the checkpoint and the per-block lineage
+            # below scale with pair-PRODUCING blocks, not with corpus
+            # cardinality (at 10M retail rows: ~20M singleton rows skipped;
+            # their count remains observable via identifier_quality's
+            # approx_distinct vs n_values).
+            sizes = (
+                blocking.group_stats(members)
+                .filter(F.col("group_size") >= 2)
+                .localCheckpoint(eager=True)
+            )
             valid, skipped = blocking.split_by_group_size(spark, cfg, sizes, run_id)
             skipped, res.groups_skipped = _ckpt_count(skipped, "skipped")
             if res.groups_skipped:
@@ -701,7 +728,12 @@ class IDRPipeline:
                     membership_view = cat.read(T_MEMBERSHIP)
             else:
                 membership_view = updates
-            impacted_ids = membership.impacted_resolved_ids(updates)
+            # FULL: every cluster is impacted — pass None so the three
+            # downstream consumers skip their (identity) restriction
+            # semi-joins, each a corpus-wide shuffle at 10M+ entities
+            impacted_ids = (
+                None if mode == "FULL" else membership.impacted_resolved_ids(updates)
+            )
             csizes = membership.cluster_sizes(membership_view, impacted_ids, run_ts)
             estats = confidence.cluster_edge_stats(membership_view, edges_current, impacted_ids)
             conf, res.clusters_impacted = _ckpt_count(
@@ -734,7 +766,12 @@ class IDRPipeline:
                         spark, cfg, extract.load_sources(spark, cfg)
                     ),
                 )
-                gold = golden.golden_updates(spark, cfg, entities_all, membership_view, impacted_ids, run_ts)
+                gold = golden.golden_updates(
+                    spark, cfg, entities_all, membership_view, impacted_ids, run_ts,
+                    # FULL (impacted_ids=None): the checkpointed confidence
+                    # frame is exactly one row per cluster — free dimension
+                    cluster_ids=conf if impacted_ids is None else None,
+                )
                 gold, n_gold = _ckpt_count(gold, "golden")
                 if not dry_run:
                     if mode == "FULL":
@@ -758,7 +795,6 @@ class IDRPipeline:
                     F.current_timestamp().alias("ended_at"),
                 )
             )
-            cat.append(T_AUDIT, audit)
 
             # identifier quality profile (≙ idr_out.identifier_quality,
             # sql/common/02_ddl_observability.sql): per type, volume /
@@ -785,10 +821,12 @@ class IDRPipeline:
                     F.lit(run_ts).cast("timestamp").alias("computed_at"),
                 )
             )
-            cat.append(T_IDENTIFIER_QUALITY, quality)
 
-            # per-partition lineage: one row per block (block id, pair count,
-            # score histogram, cluster delta) — north-rule observability.
+            # per-partition lineage: one row per pair-producing block (block
+            # id, pair count, score histogram, cluster delta) — north-rule
+            # observability. Singleton blocks are excluded upstream (see the
+            # sizes filter in edge_building): at corpus scale they are ~90% of
+            # distinct values and carry zero matching signal.
             lineage = sizes.select(
                 F.lit(run_id).alias("run_id"),
                 F.sha2(F.concat_ws("§", "identifier_type", "identifier_value_norm"), 256).alias("block_id"),
@@ -808,7 +846,6 @@ class IDRPipeline:
                     "score_histogram", F.lit(None).cast("string")
                 )
             lineage = lineage.withColumn("cluster_delta", F.lit(res.clusters_impacted))
-            cat.append(T_LINEAGE, lineage)
 
             # flush deferred store commits BEFORE the watermark advances: an
             # interrupted flush re-derives and re-merges the same delta next
@@ -819,25 +856,38 @@ class IDRPipeline:
             # stages) — submit the write jobs from a small thread pool so
             # Spark schedules them concurrently (the writes are IO-heavy with
             # idle cores between stages; overlapping them cuts the flush wall
-            # time at every parallelism level). setJobGroup is thread-local,
-            # so each worker re-tags its own thread for UI attribution.
+            # time at every parallelism level). The three observability
+            # appends (audit / quality / lineage) read only checkpointed
+            # frames and target their own append tables, so they join the
+            # same pool instead of running serially ahead of it. setJobGroup
+            # is thread-local, so each worker re-tags its own thread for UI
+            # attribution.
             def _flush(entry):
-                st_name, st_op, st_df, st_keys, st_bucket = entry
                 spark.sparkContext.setJobGroup(
-                    "output_write", f"idr store flush {st_name}", False
+                    "output_write", f"idr store flush {entry[1]}", False
                 )
-                if st_op == "overwrite":
-                    cat.overwrite(st_name, st_df, bucket_col=st_bucket)
+                if entry[0] == "append":
+                    _, st_name, st_df = entry
+                    cat.append(st_name, st_df)
                 else:
-                    cat.delete_insert(st_name, st_df, keys=st_keys, bucket_col=st_bucket)
+                    _, st_name, st_op, st_df, st_keys, st_bucket = entry
+                    if st_op == "overwrite":
+                        cat.overwrite(st_name, st_df, bucket_col=st_bucket)
+                    else:
+                        cat.delete_insert(st_name, st_df, keys=st_keys, bucket_col=st_bucket)
 
-            if len(self._pending_stores) > 1:
+            flush_tasks = [
+                ("append", T_AUDIT, audit),
+                ("append", T_IDENTIFIER_QUALITY, quality),
+                ("append", T_LINEAGE, lineage),
+            ] + [("store", *entry) for entry in self._pending_stores]
+            if len(flush_tasks) > 1:
                 from concurrent.futures import ThreadPoolExecutor
 
-                with ThreadPoolExecutor(max_workers=min(4, len(self._pending_stores))) as ex:
-                    list(ex.map(_flush, self._pending_stores))
+                with ThreadPoolExecutor(max_workers=min(6, len(flush_tasks))) as ex:
+                    list(ex.map(_flush, flush_tasks))
             else:
-                for entry in self._pending_stores:
+                for entry in flush_tasks:
                     _flush(entry)
             self._pending_stores = []
             if self._ids_count_from_pointer and not dry_run:
