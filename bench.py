@@ -271,7 +271,16 @@ def run_retail(n_rows: int, dense: bool = False) -> None:
         retail_source,
     )
 
-    spark = build_session(app_name="idr-retail", master=f"local[{CPUS}]")
+    # NOT the module-level 16-partition default (that is sized for the tiny
+    # sf0.1 queries): at 10M rows every big shuffle needs >= 2 reduce tasks
+    # per core or the run is undersubscribed — AQE can coalesce down from the
+    # initial partition count but never split above it (measured: parallelism
+    # 8-15 of 32 on the widest stages at 16 partitions).
+    spark = build_session(
+        app_name="idr-retail",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(64, int(CPUS) * 2),
+    )
     corpus = tempfile.mkdtemp(prefix="idr_retail_corpus_")
     wh = tempfile.mkdtemp(prefix="idr_retail_wh_")
     try:
