@@ -177,6 +177,13 @@ class EngineConfig:
     # rounds for fewer job round-trips/materializations — see operators/graph.py)
     checkpoint_every: int = 1
     salt_buckets: int = 0  # >0: salt the blocking join on hot keys
+    # concurrent writers in the output_write flush pool (stores + the three
+    # observability appends). Overlapping IO-heavy write jobs cuts flush wall
+    # time, but each in-flight job holds executor memory for its shuffle/agg;
+    # on heap-constrained single-JVM deployments (local mode shares one heap
+    # across all executor threads) lower this before lowering heap headroom —
+    # the flush degrades gracefully to serial at 1.
+    flush_max_workers: int = 6
     # SCORED blocks up to this size score ALL pairs (full within-block recall);
     # larger blocks fall back to anchor-star — see blocking.candidate_pairs
     scored_all_pairs_max: int = 64

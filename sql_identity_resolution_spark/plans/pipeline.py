@@ -881,10 +881,11 @@ class IDRPipeline:
                 ("append", T_IDENTIFIER_QUALITY, quality),
                 ("append", T_LINEAGE, lineage),
             ] + [("store", *entry) for entry in self._pending_stores]
-            if len(flush_tasks) > 1:
+            n_flush = max(1, int(cfg.flush_max_workers))
+            if len(flush_tasks) > 1 and n_flush > 1:
                 from concurrent.futures import ThreadPoolExecutor
 
-                with ThreadPoolExecutor(max_workers=min(6, len(flush_tasks))) as ex:
+                with ThreadPoolExecutor(max_workers=min(n_flush, len(flush_tasks))) as ex:
                     list(ex.map(_flush, flush_tasks))
             else:
                 for entry in flush_tasks:

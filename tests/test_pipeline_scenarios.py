@@ -390,3 +390,28 @@ def test_incremental_full_cluster_relabel(spark, tmp_path):
     assert (
         m["crm:A"] == m["crm:B"] == m["crm:C"] == m["crm:D"] == "crm:A"
     ), f"stale labels after merge: {m}"
+
+
+# serial flush (flush_max_workers=1) publishes identical outputs to the
+# default concurrent pool — the heap-pressure fallback must not change results
+def test_serial_flush_same_outputs(spark, tmp_path):
+    data = rows([
+        ("A001", "a@x.com", "111"),
+        ("B001", "a@x.com", "222"),
+        ("C001", "c@x.com", "222"),
+    ])
+    (tmp_path / "pool").mkdir()
+    (tmp_path / "serial").mkdir()
+    cfg = make_cfg(tmp_path / "pool", data)
+    pipe = IDRPipeline(spark, cfg)
+    pipe.run("FULL")
+    m_pool = memberships(pipe)
+
+    cfg1 = make_cfg(tmp_path / "serial", data, flush_max_workers=1)
+    pipe1 = IDRPipeline(spark, cfg1)
+    pipe1.run("FULL")
+    m_serial = memberships(pipe1)
+    assert m_pool == m_serial
+    # the observability appends still land when flushed serially
+    for t in ("rule_match_audit_current", "identifier_quality", "partition_lineage"):
+        assert pipe1.catalog.read(t).count() >= 1
