@@ -329,6 +329,54 @@ def alternating_star(
     )
 
 
+def _local_union_find(nodes: DataFrame, edges: DataFrame, max_edges: int) -> CCResult | None:
+    """Bounded small-graph fast path: collect the (sub)graph to the driver and
+    run union-find, returning the same (entity_key, label=MIN entity_key)
+    contract as the distributed loops — or ``None`` when the graph exceeds
+    ``max_edges`` (caller falls back to the distributed path).
+
+    Exists for the INCR shape: a delta's impacted subgraph is delta-sized BY
+    DESIGN (thousands of edges), but a distributed hash-min loop still pays
+    O(diameter) scheduler round-trips — a ~10-15 s fixed floor that dwarfs the
+    actual work. Collecting ≤ max_edges edges is a bounded, metadata-scale
+    transfer (200k edges ≈ ~15 MB of keys) REGARDLESS of corpus size: at
+    10^12 turns the cap still holds because the subgraph tracks the delta,
+    not the corpus. The collects are limit-guarded so an unexpectedly large
+    subgraph (mass-merge delta) costs one truncated scan, never an OOM."""
+    e = edges.select("left_entity_key", "right_entity_key").limit(max_edges + 1).collect()
+    if len(e) > max_edges:
+        return None
+    node_cap = 2 * max_edges + 10_000  # isolated singletons beyond endpoints
+    n = nodes.select("entity_key").limit(node_cap + 1).collect()
+    if len(n) > node_cap:
+        return None
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in e:
+        a, b = find(row[0]), find(row[1])
+        if a != b:
+            # union by key order: smaller string becomes the root, so every
+            # root IS its component's MIN key (resolved_id contract,
+            # sql/common/40:2) with no second pass
+            if b < a:
+                a, b = b, a
+            parent[b] = a
+    keys = {r[0] for r in n}
+    keys.update(p for row in e for p in (row[0], row[1]))
+    labels = [(k, find(k)) for k in sorted(keys)]
+    spark = nodes.sparkSession
+    df = spark.createDataFrame(labels, "entity_key string, label string")
+    return CCResult(labels=df, iterations=1, converged=True)
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -338,6 +386,7 @@ def connected_components(
     edge_count_hint: int | None = None,
     star_threshold: int = 100_000_000,
     hash_min_budget: int = 8,
+    local_max_edges: int = 0,
 ) -> CCResult:
     """``auto`` (the production default) is a hybrid: graphs shaped like the
     reference's anchor-star output converge under hash-min in ~6 rounds
@@ -348,7 +397,16 @@ def connected_components(
     sits high because the probe is cheap AND never wasted: a hash-min round
     is ~2 shuffles vs a star round's ~8 (measured 24.2 s vs 42.4 s to
     convergence on the same 9.46M-edge graph, local[16]), and on escalation
-    the probe's partial labels contract the graph the star loop runs on."""
+    the probe's partial labels contract the graph the star loop runs on.
+
+    ``local_max_edges > 0`` enables the bounded driver-side union-find fast
+    path (see ``_local_union_find``) — the pipeline passes it for INCR
+    subgraphs only; FULL-mode graphs are corpus-sized by construction and
+    always run distributed."""
+    if local_max_edges > 0 and (edge_count_hint is None or edge_count_hint <= local_max_edges):
+        local = _local_union_find(nodes, edges, local_max_edges)
+        if local is not None:
+            return local
     if algorithm == "auto":
         n = edge_count_hint if edge_count_hint is not None else edges.count()
         if n > star_threshold:

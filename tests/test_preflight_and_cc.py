@@ -158,3 +158,45 @@ def test_checkpoint_every_runs_fewer_jobs(spark):
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
     # 12 LP rounds: ~1 action/round at k=1 vs ~1 action per 4 rounds at k=4
     assert j4 <= j1 / 2, f"expected fused rounds to halve jobs: k=1→{j1}, k=4→{j4}"
+
+
+# ----------------------------------------------------- INCR local fast path
+
+
+def test_local_union_find_matches_distributed(spark):
+    """Bounded driver union-find must reproduce the distributed labels exactly
+    (label = MIN entity_key per component), including isolated nodes."""
+    from sql_identity_resolution_spark.operators.graph import (
+        connected_components,
+        hash_min_lp,
+    )
+
+    nodes, edges = _chain(spark, 12)
+    # add a disjoint triangle and an isolated singleton
+    nodes = nodes.union(spark.createDataFrame([("t1",), ("t2",), ("t3",), ("zzz_alone",)], "entity_key string"))
+    edges = edges.union(
+        spark.createDataFrame(
+            [("t1", "t2"), ("t2", "t3"), ("t3", "t1")],
+            "left_entity_key string, right_entity_key string",
+        )
+    )
+    dist = hash_min_lp(nodes, edges, max_iters=40)
+    local = connected_components(nodes, edges, local_max_edges=1000)
+    assert local.converged and local.iterations == 1
+    want = {(r["entity_key"], r["label"]) for r in dist.labels.collect()}
+    got = {(r["entity_key"], r["label"]) for r in local.labels.collect()}
+    assert got == want
+    assert ("zzz_alone", "zzz_alone") in got
+
+
+def test_local_union_find_cap_falls_back_to_distributed(spark):
+    """A subgraph over the cap must take the distributed path (limit guard),
+    with identical labels."""
+    from sql_identity_resolution_spark.operators.graph import connected_components
+
+    nodes, edges = _chain(spark, 12)
+    res = connected_components(nodes, edges, local_max_edges=3)  # 11 edges > 3
+    assert res.converged
+    assert res.iterations > 1  # distributed rounds ran, not the 1-shot local path
+    got = {(r["entity_key"], r["label"]) for r in res.labels.collect()}
+    assert got == {(f"e{i:03d}", "e000") for i in range(12)}
