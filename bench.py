@@ -238,6 +238,34 @@ def run_bench(n_conversations: int | None = None) -> dict:
                 "full_stage_seconds": res_f.stage_seconds,
                 "incr_stage_seconds": res_i.stage_seconds,
             }
+
+            # Second economics shape: a delta of genuinely NEW entities
+            # (disjoint token vocabulary — nothing links to the existing
+            # graph), the common production stream where arrivals are new
+            # conversations. The chained delta above is the WORST case (it
+            # merges into existing mega-clusters, so correctness forces
+            # recomputing those clusters); this is the COMMON case, where the
+            # impacted subgraph is delta-sized, LP takes the bounded local
+            # fast path, and every store commit is an insert-only fast append.
+            delta2 = (
+                generate_transcripts_spark(spark, n_conversations=n_delta, seed=44, token_tag="zz")
+                .drop("truth_cluster_id")
+                .withColumn("conv_id", F.concat(F.lit("incr2_"), F.col("conv_id")))
+                .withColumn("ts", F.col("ts") + F.expr("INTERVAL 380 DAYS"))
+            )
+            delta2.coalesce(4).write.mode("append").parquet(turns_dir)
+            t0 = time.time()
+            res_i2 = pipe.run("INCR")
+            incr2_sec = round(time.time() - t0, 3)
+            econ["new_entity_delta"] = {
+                "delta_conversations": n_delta,
+                "incr_seconds": incr2_sec,
+                "incr_over_full": round(incr2_sec / full_sec, 3),
+                "incr_entities_processed": res_i2.entities_processed,
+                "incr_edges_created": res_i2.edges_created,
+                "incr_store_commits": res_i2.store_commits,
+                "incr_stage_seconds": res_i2.stage_seconds,
+            }
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
             shutil.rmtree(tmp, ignore_errors=True)

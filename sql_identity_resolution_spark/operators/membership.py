@@ -11,17 +11,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def membership_updates(labels: DataFrame, entities_delta: DataFrame, run_ts) -> DataFrame:
+def membership_updates(
+    labels: DataFrame,
+    entities_delta: DataFrame,
+    run_ts,
+    prior_members: DataFrame | None = None,
+) -> DataFrame:
     """resolved_id = LP label for subgraph nodes; delta entities with no edges
     become singletons resolved to themselves (NOT IN lp_labels → left_anti,
-    sql/common/40:4-18)."""
+    sql/common/40:4-18).
+
+    ``prior_members`` (INCR only, bucket-pruned to the delta's buckets): a
+    re-signed watermark-boundary entity that already HAS a membership row and
+    gained no new edges must not be re-inserted as a self-singleton — its
+    existing (possibly clustered) row stands. New entities are never in the
+    store, so the guard only filters re-signed boundary rows."""
     ts = F.lit(run_ts).cast("timestamp")
     labeled = labels.select("entity_key", F.col("label").alias("resolved_id"), ts.alias("updated_ts"))
     singletons = (
         entities_delta.select("entity_key")
         .distinct()
         .join(labels.select("entity_key"), "entity_key", "left_anti")
-        .select("entity_key", F.col("entity_key").alias("resolved_id"), ts.alias("updated_ts"))
+    )
+    if prior_members is not None:
+        singletons = singletons.join(
+            prior_members.select("entity_key"), "entity_key", "left_anti"
+        )
+    singletons = singletons.select(
+        "entity_key", F.col("entity_key").alias("resolved_id"), ts.alias("updated_ts")
     )
     return labeled.unionByName(singletons)
 

@@ -652,8 +652,20 @@ class IDRPipeline:
             if mode == "FULL":
                 edges_current = edges_new
             else:
+                new_pairs = _truly_new_pairs(edges_new, prior)
                 edges_current = prior.unionByName(edges_new).dropDuplicates(edge_keys)
         else:
+            # connectivity changes only where an endpoint PAIR didn't exist
+            # under ANY rule: compute the truly-new pairs BEFORE the merge
+            # (bucket-pruned prior read + delta-sized anti-join, checkpointed
+            # so the merge's pointer swap can't invalidate the lazy plan).
+            # Re-derived edges of re-signed watermark-boundary entities only
+            # refresh last_seen_ts in the MERGE — they must not drag their
+            # whole (possibly huge) clusters into the recluster.
+            new_pairs = _truly_new_pairs(
+                edges_new,
+                cat.read_slice_for(T_EDGES, edges_new, "left_entity_key", edges_schema),
+            ).localCheckpoint(eager=True)
             cat.merge_upsert(
                 T_EDGES, edges_new, keys=edge_keys, update_cols=["last_seen_ts"],
                 bucket_col="left_entity_key",
@@ -672,7 +684,10 @@ class IDRPipeline:
                 )
                 sub_edges = edges_current
             else:
-                impacted = graph.impacted_nodes(edges_new)
+                # impacted = endpoints of truly-NEW pairs only (re-derived
+                # existing edges don't change components — sql/common/30's
+                # edges_new semantics, restricted to graph-changing rows)
+                impacted = graph.impacted_nodes(new_pairs)
                 nodes, sub_edges = graph.subgraph(edges_current, impacted, membership_current)
             cc = graph.connected_components(
                 nodes,
@@ -716,7 +731,19 @@ class IDRPipeline:
 
         # -------- membership + clusters (stages 40/41/42)
         with stage("membership_update") as s:
-            updates = membership.membership_updates(labels, entities_delta, run_ts)
+            updates = membership.membership_updates(
+                labels,
+                entities_delta,
+                run_ts,
+                prior_members=(
+                    None
+                    if mode == "FULL"
+                    else cat.read_slice_for(
+                        T_MEMBERSHIP, entities_delta, "entity_key",
+                        schema_str(_MEMBERSHIP_SCHEMA, spark),
+                    )
+                ),
+            )
             updates = updates.localCheckpoint(eager=True)
             if not dry_run:
                 if mode == "FULL":
@@ -727,30 +754,36 @@ class IDRPipeline:
                     self._pending_stores.append(
                         (T_MEMBERSHIP, "overwrite", updates, ["entity_key"], "entity_key")
                     )
-                    membership_view = updates
                 else:
-                    cat.merge_upsert(T_MEMBERSHIP, updates, keys=["entity_key"], bucket_col="entity_key")
-                    membership_view = cat.read(T_MEMBERSHIP)
-            else:
-                membership_view = updates
-            # FULL: every cluster is impacted — pass None so the three
-            # downstream consumers skip their (identity) restriction
-            # semi-joins, each a corpus-wide shuffle at 10M+ entities
-            impacted_ids = (
-                None if mode == "FULL" else membership.impacted_resolved_ids(updates)
-            )
-            csizes = membership.cluster_sizes(membership_view, impacted_ids, run_ts)
-            estats = confidence.cluster_edge_stats(membership_view, edges_current, impacted_ids)
+                    # INCR: defer to the concurrent flush too — every
+                    # downstream consumer reads the checkpointed updates frame
+                    # (see below), so nothing waits on the store commit
+                    # (full-row upsert on the key ≡ delete+insert by key)
+                    self._pending_stores.append(
+                        (T_MEMBERSHIP, "delete_insert", updates, ["entity_key"], "entity_key")
+                    )
+            # The checkpointed updates frame IS the impacted-cluster
+            # membership in EVERY mode: FULL relabels everyone, and INCR's
+            # full-touched-cluster subgraph superset relabels every member of
+            # every impacted cluster (an outside entity can't share a new
+            # resolved_id: min-keys belong to exactly one component). So the
+            # three downstream consumers (sizes / edge stats / golden) run on
+            # the delta-sized frame with NO restriction semi-join and NO
+            # O(corpus) membership read on the INCR critical path —
+            # edges_current supplies incident edges via joins against the
+            # broadcast-sized updates.
+            csizes = membership.cluster_sizes(updates, None, run_ts)
+            estats = confidence.cluster_edge_stats(updates, edges_current, None)
             conf, res.clusters_impacted = _ckpt_count(
                 confidence.cluster_confidence(csizes, estats, run_ts), "confidence"
             )
             if not dry_run:
-                if mode == "FULL":
-                    self._pending_stores.append(
-                        (T_CLUSTERS, "overwrite", conf, ["resolved_id"], "resolved_id")
-                    )
-                else:
-                    cat.delete_insert(T_CLUSTERS, conf, keys=["resolved_id"], bucket_col="resolved_id")
+                # conf is checkpointed — both modes defer the commit to the
+                # concurrent flush (INCR: delete+insert of impacted clusters)
+                op = "overwrite" if mode == "FULL" else "delete_insert"
+                self._pending_stores.append(
+                    (T_CLUSTERS, op, conf, ["resolved_id"], "resolved_id")
+                )
             s.rows(res.clusters_impacted)
 
         # -------- golden profile (stage 50)
@@ -772,19 +805,17 @@ class IDRPipeline:
                     ),
                 )
                 gold = golden.golden_updates(
-                    spark, cfg, entities_all, membership_view, impacted_ids, run_ts,
-                    # FULL (impacted_ids=None): the checkpointed confidence
-                    # frame is exactly one row per cluster — free dimension
-                    cluster_ids=conf if impacted_ids is None else None,
+                    spark, cfg, entities_all, updates, None, run_ts,
+                    # the checkpointed confidence frame is exactly one row per
+                    # (impacted) cluster in every mode — free dimension
+                    cluster_ids=conf,
                 )
                 gold, n_gold = _ckpt_count(gold, "golden")
                 if not dry_run:
-                    if mode == "FULL":
-                        self._pending_stores.append(
-                            (T_GOLDEN, "overwrite", gold, ["resolved_id"], "resolved_id")
-                        )
-                    else:
-                        cat.delete_insert(T_GOLDEN, gold, keys=["resolved_id"], bucket_col="resolved_id")
+                    op = "overwrite" if mode == "FULL" else "delete_insert"
+                    self._pending_stores.append(
+                        (T_GOLDEN, op, gold, ["resolved_id"], "resolved_id")
+                    )
                 s.rows(n_gold)
 
         # -------- audit + lineage + run_state (stages 60/70)
@@ -802,11 +833,14 @@ class IDRPipeline:
             )
 
             # identifier quality profile (≙ idr_out.identifier_quality,
-            # sql/common/02_ddl_observability.sql): per type, volume /
-            # cardinality / reuse — the signals that catch a degenerate
-            # blocking key before it melts a partition.
+            # sql/common/02_ddl_observability.sql — a per-RUN table): per
+            # type, volume / cardinality / reuse — the signals that catch a
+            # degenerate blocking key before it melts a partition. Scoped to
+            # THIS run's extracted (checkpointed) identifiers: profiling the
+            # whole store again every micro-batch would be an O(corpus) scan
+            # on the INCR critical path for a per-run observability row.
             quality = (
-                identifiers_filtered.groupBy("identifier_type")
+                identifiers_delta.groupBy("identifier_type")
                 .agg(
                     F.count(F.lit(1)).alias("n_values"),
                     F.approx_count_distinct("identifier_value_norm").alias("approx_distinct"),
@@ -1017,3 +1051,17 @@ def schema_str(s: str, spark: SparkSession):
     from pyspark.sql.types import StructType
 
     return StructType.fromDDL(s)
+
+
+def _truly_new_pairs(edges_new, prior_edges):
+    """Endpoint pairs of ``edges_new`` that exist under NO rule in
+    ``prior_edges`` — the rows that actually change graph connectivity.
+    A pair already linked by any rule contributes nothing to the recluster
+    (components are defined on endpoint pairs), so its re-derivation is a
+    pure last_seen_ts refresh in the edge MERGE."""
+    pair_cols = ["left_entity_key", "right_entity_key"]
+    return (
+        edges_new.select(*pair_cols)
+        .distinct()
+        .join(prior_edges.select(*pair_cols), pair_cols, "left_anti")
+    )

@@ -34,6 +34,16 @@ count ÷ desired rewrite fraction. The sandbox default (32) suits streaming
 micro-batches; a 10⁹-row membership table on a cluster wants
 n_buckets ≈ table_bytes / target_file_bytes (e.g. 4096 × 256 MB), exactly how
 Iceberg bucket partitioning is sized.
+
+Insert-only fast append: a MERGE source whose keys match NO existing row in a
+bucket is a pure INSERT there — the commit appends a new part file to that
+bucket (the pointer maps a bucket to a LIST of version dirs) and the kept rows
+never leave disk, ≙ Iceberg MERGE writing only new data files for match-free
+partitions plus a fast-append manifest. This makes new-entity INCR deltas
+(the common streaming shape: most arriving entities are brand new) O(delta)
+write IO even though their keys hash into every bucket. Buckets that
+accumulate ``max_parts_per_bucket`` part files are folded into the next
+merge's rewrite set (inline compaction, ≙ Iceberg rewrite_data_files).
 """
 
 from __future__ import annotations
@@ -73,11 +83,15 @@ class Catalog:
         keep_versions: int = 3,
         n_buckets: int = 32,
         table_buckets: dict[str, int] | None = None,
+        max_parts_per_bucket: int = 8,
     ):
         self.spark = spark
         self.warehouse = warehouse
         self.keep_versions = keep_versions
         self.n_buckets = n_buckets
+        # insert-only merges append part files to a bucket instead of
+        # rewriting it; at this many parts the bucket compacts on next touch
+        self.max_parts_per_bucket = max_parts_per_bucket
         # per-table override for NEW tables: big fact tables (membership, edges)
         # want many buckets; tiny dimension stores want few (fewer files + fewer
         # rewritten slices per delta). Existing tables always keep the modulus
@@ -149,11 +163,23 @@ class Catalog:
         return self.current_version(name) is not None
 
     # ------------------------------------------------------------------- read
+    @staticmethod
+    def _bucket_versions(val) -> list[str]:
+        """Pointer bucket value → list of version dirs holding its part files
+        (str for a single rewrite, list once fast-appends accumulated)."""
+        if val is None:
+            return []
+        return [val] if isinstance(val, str) else list(val)
+
     def _bucket_paths(self, name: str, meta: dict, buckets: list[int] | None = None) -> list[str]:
         tdir = self._tdir(name)
-        bmap: dict = meta["buckets"]  # {bucket_str: version}
+        bmap: dict = meta["buckets"]  # {bucket_str: version | [versions]}
         items = bmap.items() if buckets is None else ((str(b), bmap[str(b)]) for b in buckets if str(b) in bmap)
-        return [os.path.join(tdir, v, f"_bucket={b}") for b, v in items]
+        return [
+            os.path.join(tdir, v, f"_bucket={b}")
+            for b, vs in items
+            for v in self._bucket_versions(vs)
+        ]
 
     def read(
         self, name: str, schema: T.StructType | None = None, buckets: list[int] | None = None
@@ -168,23 +194,28 @@ class Catalog:
                 raise FileNotFoundError(f"table {name} does not exist and no schema given")
             return self.spark.createDataFrame([], schema)
         tdir = self._tdir(name)
+        # reads supply the schema RECORDED AT COMMIT (≙ Iceberg reading its
+        # table metadata, never file footers): with many bucket-part paths a
+        # schema-inferring read costs a driver footer fetch per path — 20+
+        # catalog reads per INCR run made that seconds of pure driver time
+        reader = self.spark.read.option("mergeSchema", "false")
+        stored = meta.get("schema")
+        if stored is not None:
+            reader = reader.schema(T.StructType.fromJson(stored))
         if meta.get("buckets") is not None:
             paths = self._bucket_paths(name, meta, buckets)
             if not paths:
                 # empty table or fully-pruned read: schema from the pointer
-                stored = meta.get("schema")
                 if schema is None and stored is not None:
                     schema = T.StructType.fromJson(stored)
                 if schema is None:
                     raise FileNotFoundError(f"bucketed table {name} is empty and no schema given")
                 return self.spark.createDataFrame([], schema)
-            return self.spark.read.option("mergeSchema", "false").parquet(*paths)
+            return reader.parquet(*paths)
         parts = meta.get("parts")
         if parts:
-            return self.spark.read.option("mergeSchema", "false").parquet(
-                *[os.path.join(tdir, p) for p in parts]
-            )
-        return self.spark.read.parquet(os.path.join(tdir, meta["version"]))
+            return reader.parquet(*[os.path.join(tdir, p) for p in parts])
+        return reader.parquet(os.path.join(tdir, meta["version"]))
 
     # ------------------------------------------------------------------ write
     def _commit(self, name: str, df: DataFrame) -> None:
@@ -196,7 +227,8 @@ class Catalog:
         tmp = os.path.join(tdir, f".ptr_{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as f:
             json.dump(
-                {"version": version, "rows": _parquet_rows(out), "committed_at": time.time()}, f
+                {"version": version, "rows": _parquet_rows(out),
+                 "schema": df.schema.jsonValue(), "committed_at": time.time()}, f
             )
         os.replace(tmp, self._pointer_path(name))  # atomic publish
         self._vacuum(name, keep=version)
@@ -204,7 +236,9 @@ class Catalog:
     def _vacuum(self, name: str, keep: str) -> None:
         tdir = self._tdir(name)
         meta = self._pointer(name) or {}
-        referenced = set((meta.get("buckets") or {}).values()) | {keep}
+        referenced = {keep}
+        for vs in (meta.get("buckets") or {}).values():
+            referenced.update(self._bucket_versions(vs))
         versions = sorted(d for d in os.listdir(tdir) if d.startswith("v"))
         excess = [v for v in versions if v not in referenced][
             : max(0, len(versions) - self.keep_versions)
@@ -219,11 +253,15 @@ class Catalog:
         bucket_col: str,
         base: dict | None,
         touched: set[int] | None = None,
+        append_b: set[int] | None = None,
     ) -> None:
-        """Write ``df`` (the full content of its touched buckets) partitioned by
-        bucket into ONE new version dir; pointer maps touched buckets to it,
-        untouched buckets keep their prior version (shared, never rewritten).
-        A touched bucket with no surviving rows is dropped from the map."""
+        """Write ``df`` partitioned by bucket into ONE new version dir.
+        ``df`` carries the FULL post-merge content of every bucket in
+        ``touched`` (rewritten: pointer maps them to just this version) plus
+        ONLY the new rows of every bucket in ``append_b`` (fast-append: this
+        version is added to the bucket's part list, prior parts stay live).
+        Untouched buckets keep their prior versions (shared, never rewritten).
+        A rewritten bucket with no surviving rows is dropped from the map."""
         n_buckets = self._table_buckets(name, base)
         tdir = self._tdir(name)
         os.makedirs(tdir, exist_ok=True)
@@ -236,7 +274,7 @@ class Catalog:
         # 48-task job, not an n_buckets-task job), capped at 4× parallelism
         # for big initial writes — hash-aligned, so a task still writes only
         # its own buckets (n/k writers per task, k chosen so that stays ≤~4).
-        k = len(touched) if touched is not None else n_buckets
+        k = (len(touched) if touched is not None else n_buckets) + len(append_b or ())
         k = max(1, min(n_buckets, k, 4 * max(8, self.spark.sparkContext.defaultParallelism)))
         (
             df.withColumn("_bucket", self._bucket_expr(bucket_col, n_buckets))
@@ -248,12 +286,24 @@ class Catalog:
         written = {d.split("=", 1)[1] for d in os.listdir(out) if d.startswith("_bucket=")}
         bmap = dict((base or {}).get("buckets") or {})
         brows = dict((base or {}).get("bucket_rows") or {})
+        append_strs = {str(b) for b in (append_b or set())}
         for b in touched or set():
             bmap.pop(str(b), None)
             brows.pop(str(b), None)
         for b in written:
-            bmap[b] = version
-            brows[b] = _parquet_rows(os.path.join(out, f"_bucket={b}"))
+            n_new = _parquet_rows(os.path.join(out, f"_bucket={b}"))
+            if b in append_strs:
+                prior = self._bucket_versions(bmap.get(b))
+                bmap[b] = prior + [version] if prior else version
+                if b in brows:
+                    brows[b] = int(brows[b]) + n_new
+                elif not prior:
+                    brows[b] = n_new
+                # else: prior parts with unknown count — leave the count
+                # missing so row_count() reports None and callers re-scan
+            else:
+                bmap[b] = version
+                brows[b] = n_new
         tmp = os.path.join(tdir, f".ptr_{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as f:
             json.dump(
@@ -274,6 +324,7 @@ class Catalog:
         self.last_commit_stats[name] = {
             "n_buckets": n_buckets,
             "touched_buckets": rewrote,
+            "appended_buckets": len(append_b or ()),
             "rewritten_fraction": round(rewrote / n_buckets, 4) if n_buckets else 1.0,
         }
 
@@ -307,7 +358,7 @@ class Catalog:
         with open(tmp, "w") as f:
             json.dump(
                 {"version": version, "parts": parts, "part_rows": part_rows,
-                 "committed_at": time.time()}, f
+                 "schema": df.schema.jsonValue(), "committed_at": time.time()}, f
             )
         os.replace(tmp, self._pointer_path(name))
 
@@ -322,6 +373,26 @@ class Catalog:
             ).distinct().collect()
         }
 
+    def read_slice_for(
+        self,
+        name: str,
+        source: DataFrame,
+        bucket_col: str,
+        schema: T.StructType | str | None = None,
+    ) -> DataFrame:
+        """Current rows of ``name`` restricted to the buckets that ``source``'s
+        ``bucket_col`` values hash into — the same partition pruning a bucketed
+        MERGE plans, exposed as a read (≙ Iceberg partition-predicate pushdown
+        for a delta-driven lookup). Falls back to a full read for unbucketed
+        tables; returns an empty frame with ``schema`` when the table is absent."""
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        meta = self._pointer(name)
+        if meta is None or meta.get("buckets") is None:
+            return self.read(name, schema)
+        touched = self._touched_buckets(source, bucket_col, self._table_buckets(name, meta))
+        return self.read(name, buckets=sorted(touched))
+
     def _merge_target(
         self, name: str, source: DataFrame, bucket_col: str | None
     ) -> tuple[DataFrame, dict | None, set[int] | None]:
@@ -334,6 +405,42 @@ class Catalog:
             touched = self._touched_buckets(source, bucket_col, self._table_buckets(name, meta))
             return self.read(name, buckets=sorted(touched)), meta, touched
         return self.read(name), meta, None
+
+    def _plan_bucketed_merge(self, name: str, source: DataFrame, keys: list[str], bucket_col: str | None):
+        """Split a bucketed merge's touched buckets into REWRITE vs APPEND-only.
+
+        A touched bucket where no target key matches any source key is a pure
+        INSERT: its kept rows never leave disk and the commit fast-appends a
+        new part file (≙ Iceberg MERGE emitting only new data files for
+        match-free partitions). Detecting it costs one key-column semi-join
+        over the touched slice — O(touched-bucket keys), paid back many times
+        over by not rewriting the bucket's data. Buckets that already hold
+        ``max_parts_per_bucket`` part files are folded into the rewrite set
+        (inline compaction). Returns ``(meta, bexpr, rewrite_b, append_b,
+        cols)`` or None when the table isn't in bucketed layout (caller falls
+        back to the full-table merge)."""
+        meta = self._pointer(name)
+        if bucket_col is None or not meta or meta.get("buckets") is None:
+            return None
+        n_buckets = self._table_buckets(name, meta)
+        touched = self._touched_buckets(source, bucket_col, n_buckets)
+        bexpr = self._bucket_expr(bucket_col, n_buckets)
+        tgt_touched = self.read(name, buckets=sorted(touched))
+        matched_b = {
+            r["b"]
+            for r in tgt_touched.join(source.select(*keys).distinct(), keys, "left_semi")
+            .select(bexpr.alias("b"))
+            .distinct()
+            .collect()
+        }
+        bmap = meta["buckets"]
+        over = {
+            b
+            for b in touched
+            if len(self._bucket_versions(bmap.get(str(b)))) >= self.max_parts_per_bucket
+        }
+        rewrite_b = matched_b | over
+        return meta, bexpr, rewrite_b, touched - rewrite_b, tgt_touched.columns
 
     def merge_upsert(
         self,
@@ -364,20 +471,50 @@ class Catalog:
             else:
                 self._commit(name, source)
             return
-        target, meta, touched = self._merge_target(name, source, bucket_col)
-        cols = target.columns
+        plan = self._plan_bucketed_merge(name, source, keys, bucket_col)
+        if plan is None:
+            target, meta, touched = self._merge_target(name, source, bucket_col)
+            cols = target.columns
+            if update_cols is None:
+                update_cols = [c for c in cols if c not in keys]
+            src = source.select(*cols)
+            kept = target.join(src.select(*keys).distinct(), keys, "left_anti")
+            t, s = target.alias("t"), src.alias("s")
+            matched = t.join(s, keys, "inner").select(
+                *[F.col(f"s.{c}" if (c in update_cols or c in keys) else f"t.{c}").alias(c) for c in cols]
+            )
+            inserted = src.join(target.select(*keys).distinct(), keys, "left_anti")
+            merged = kept.unionByName(matched).unionByName(inserted)
+            self._commit_merged(name, merged, bucket_col, meta, touched)
+            return
+        meta, bexpr, rewrite_b, append_b, cols = plan
         if update_cols is None:
             update_cols = [c for c in cols if c not in keys]
-
         src = source.select(*cols)
-        kept = target.join(src.select(*keys).distinct(), keys, "left_anti")
-        t, s = target.alias("t"), src.alias("s")
-        matched = t.join(s, keys, "inner").select(
-            *[F.col(f"s.{c}" if (c in update_cols or c in keys) else f"t.{c}").alias(c) for c in cols]
-        )
-        inserted = src.join(target.select(*keys).distinct(), keys, "left_anti")
-        merged = kept.unionByName(matched).unionByName(inserted)
-        self._commit_merged(name, merged, bucket_col, meta, touched)
+        merged = None
+        if rewrite_b:
+            target = self.read(name, buckets=sorted(rewrite_b))
+            src_rw = src.where(bexpr.isin([int(b) for b in rewrite_b]))
+            kept = target.join(src_rw.select(*keys).distinct(), keys, "left_anti")
+            t, s = target.alias("t"), src_rw.alias("s")
+            matched = t.join(s, keys, "inner").select(
+                *[F.col(f"s.{c}" if (c in update_cols or c in keys) else f"t.{c}").alias(c) for c in cols]
+            )
+            inserted = src_rw.join(target.select(*keys).distinct(), keys, "left_anti")
+            merged = kept.unionByName(matched).unionByName(inserted)
+        if append_b:
+            # buckets with zero key matches: every source row there is an
+            # INSERT by construction — fast-append, kept rows stay on disk
+            appends = src.where(bexpr.isin([int(b) for b in append_b]))
+            merged = appends if merged is None else merged.unionByName(appends)
+        if merged is None:  # empty source: nothing to write
+            n_buckets = self._table_buckets(name, meta)
+            self.last_commit_stats[name] = {
+                "n_buckets": n_buckets, "touched_buckets": 0,
+                "appended_buckets": 0, "rewritten_fraction": 0.0,
+            }
+            return
+        self._commit_buckets(name, merged, bucket_col, base=meta, touched=rewrite_b, append_b=append_b)
 
     def delete_insert(
         self, name: str, source: DataFrame, keys: list[str], bucket_col: str | None = None
@@ -390,10 +527,33 @@ class Catalog:
             else:
                 self._commit(name, source)
             return
-        target, meta, touched = self._merge_target(name, source, bucket_col)
-        kept = target.join(source.select(*keys).distinct(), keys, "left_anti")
-        merged = kept.unionByName(source.select(*target.columns))
-        self._commit_merged(name, merged, bucket_col, meta, touched)
+        plan = self._plan_bucketed_merge(name, source, keys, bucket_col)
+        if plan is None:
+            target, meta, touched = self._merge_target(name, source, bucket_col)
+            kept = target.join(source.select(*keys).distinct(), keys, "left_anti")
+            merged = kept.unionByName(source.select(*target.columns))
+            self._commit_merged(name, merged, bucket_col, meta, touched)
+            return
+        meta, bexpr, rewrite_b, append_b, cols = plan
+        src = source.select(*cols)
+        merged = None
+        if rewrite_b:
+            target = self.read(name, buckets=sorted(rewrite_b))
+            src_rw = src.where(bexpr.isin([int(b) for b in rewrite_b]))
+            kept = target.join(src_rw.select(*keys).distinct(), keys, "left_anti")
+            merged = kept.unionByName(src_rw)
+        if append_b:
+            # no key in these buckets matches ⇒ nothing to delete: fast-append
+            appends = src.where(bexpr.isin([int(b) for b in append_b]))
+            merged = appends if merged is None else merged.unionByName(appends)
+        if merged is None:
+            n_buckets = self._table_buckets(name, meta)
+            self.last_commit_stats[name] = {
+                "n_buckets": n_buckets, "touched_buckets": 0,
+                "appended_buckets": 0, "rewritten_fraction": 0.0,
+            }
+            return
+        self._commit_buckets(name, merged, bucket_col, base=meta, touched=rewrite_b, append_b=append_b)
 
     def _commit_merged(
         self, name: str, merged: DataFrame, bucket_col: str | None, meta: dict | None, touched

@@ -57,9 +57,17 @@ def generate_transcripts_spark(
     n_conversations: int,
     seed: int = 42,
     avg_cluster_size: float = 7.3,
+    token_tag: str = "",
 ) -> DataFrame:
     """Returns turn-level rows (conv_id, turn_idx, role, text, tool, ts,
-    truth_cluster_id). Deterministic in (n_conversations, seed)."""
+    truth_cluster_id). Deterministic in (n_conversations, seed).
+
+    ``token_tag`` suffixes every text token, making the corpus's vocabulary
+    DISJOINT from any untagged (or differently-tagged) corpus: no shingle,
+    signature, or scored pair can cross the tag boundary. Used to model the
+    common production INCR shape — a delta batch of genuinely NEW entities
+    that links to nothing existing — next to the default chained shape whose
+    deltas merge into existing clusters."""
     n_clusters = max(1, int(n_conversations / avg_cluster_size))
     clusters = spark.range(n_clusters).select(F.col("id").alias("cluster"))
 
@@ -142,6 +150,10 @@ def generate_transcripts_spark(
         .when(sig < 75, perturbed)  # LSH + score path
         .otherwise(F.when(t == 0, opening).otherwise(alt_body))  # composite-key path
     )
+    if token_tag:
+        text = F.array_join(
+            F.transform(F.split(text, " "), lambda w: F.concat(w, F.lit(token_tag))), " "
+        )
 
     ts = F.to_timestamp(F.lit("2026-01-01 00:00:00")) + F.make_interval(
         secs=(_h(seed, "ts", c, m) % 500_000).cast("double")

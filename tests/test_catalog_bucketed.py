@@ -97,6 +97,58 @@ def test_catalog_per_table_bucket_override(spark, tmp_path):
     assert {r["k"]: r["v"] for r in cat.read("small").collect()} == {"a": 1, "b": 20}
 
 
+def test_insert_only_merge_fast_appends(spark, tmp_path):
+    """A MERGE whose keys match nothing is a pure INSERT: the commit appends a
+    part file per touched bucket (pointer holds a version LIST) and rewrites
+    zero buckets — ≙ Iceberg MERGE emitting only new data files when no rows
+    match. The common INCR shape (new entities arriving) must not pay an
+    O(bucket-bytes) rewrite per micro-batch."""
+    cat = Catalog(spark, str(tmp_path / "wh"), n_buckets=4)
+    cat.overwrite("t", _mk(spark, [(f"k{i}", i) for i in range(32)]), bucket_col="k")
+    meta0 = json.load(open(os.path.join(cat._tdir("t"), "_CURRENT")))
+
+    cat.merge_upsert("t", _mk(spark, [(f"new{i}", 100 + i) for i in range(8)]), keys=["k"], bucket_col="k")
+    stats = cat.last_commit_stats["t"]
+    assert stats["touched_buckets"] == 0 and stats["appended_buckets"] >= 1
+    meta1 = json.load(open(os.path.join(cat._tdir("t"), "_CURRENT")))
+    for b, v0 in meta0["buckets"].items():  # every prior part file stays live
+        vs = Catalog._bucket_versions(meta1["buckets"][b])
+        assert vs[0] == v0
+    got = {r["k"]: r["v"] for r in cat.read("t").collect()}
+    assert len(got) == 40 and got["new3"] == 103 and got["k5"] == 5
+    assert cat.row_count("t") == 40  # pointer counts track appends exactly
+
+    # mixed merge: one matched key → ONLY its bucket rewrites (its part list
+    # collapses back to a single version); pure-insert rows still append
+    cat.merge_upsert("t", _mk(spark, [("k3", 999)]), keys=["k"], bucket_col="k")
+    stats = cat.last_commit_stats["t"]
+    assert stats["touched_buckets"] == 1 and stats["appended_buckets"] == 0
+    got = {r["k"]: r["v"] for r in cat.read("t").collect()}
+    assert len(got) == 40 and got["k3"] == 999 and got["new7"] == 107
+    assert cat.row_count("t") == 40 == cat.read("t").count()
+
+
+def test_fast_append_compaction_at_max_parts(spark, tmp_path):
+    """Appends accumulate part files per bucket up to max_parts_per_bucket;
+    the next merge touching a full bucket folds it into the rewrite set
+    (inline compaction, ≙ Iceberg rewrite_data_files)."""
+    cat = Catalog(spark, str(tmp_path / "wh"), n_buckets=1, max_parts_per_bucket=3)
+    cat.overwrite("t", _mk(spark, [("k0", 0)]), bucket_col="k")
+    for i in (1, 2):  # two insert-only merges → 3 live parts in the bucket
+        cat.delete_insert("t", _mk(spark, [(f"k{i}", i)]), keys=["k"], bucket_col="k")
+        assert cat.last_commit_stats["t"]["touched_buckets"] == 0
+    meta = json.load(open(os.path.join(cat._tdir("t"), "_CURRENT")))
+    assert len(Catalog._bucket_versions(meta["buckets"]["0"])) == 3
+
+    cat.delete_insert("t", _mk(spark, [("k9", 9)]), keys=["k"], bucket_col="k")
+    assert cat.last_commit_stats["t"]["touched_buckets"] == 1  # compacted
+    meta = json.load(open(os.path.join(cat._tdir("t"), "_CURRENT")))
+    assert len(Catalog._bucket_versions(meta["buckets"]["0"])) == 1
+    got = {r["k"]: r["v"] for r in cat.read("t").collect()}
+    assert got == {"k0": 0, "k1": 1, "k2": 2, "k9": 9}
+    assert cat.row_count("t") == 4
+
+
 def test_unbucketed_table_converts_on_first_bucketed_merge(spark, tmp_path):
     cat = Catalog(spark, str(tmp_path / "wh"), n_buckets=4)
     cat.overwrite("t", _mk(spark, [("a", 1), ("b", 2)]))  # legacy flat layout
