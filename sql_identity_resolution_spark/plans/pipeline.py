@@ -647,25 +647,35 @@ class IDRPipeline:
                 (T_EDGES, "overwrite", edges_new, edge_keys, "left_entity_key")
             )
             edges_current = edges_new
-        elif dry_run:
+        if mode == "INCR":
+            # connectivity changes only where a pair's endpoints are NOT
+            # already co-clustered: re-derived edges of re-signed watermark-
+            # boundary entities (and new rule-edges inside an existing
+            # cluster) only refresh last_seen_ts in the MERGE — they must not
+            # drag their whole (possibly huge) clusters into the recluster.
+            # Testing membership rather than the edge store is also
+            # CRASH-SAFE: a prior run that merged edges but failed before
+            # publishing membership leaves those pairs non-co-clustered, so
+            # the re-run still reclusters them (an edge-store anti-join would
+            # see them as "already known" and strand them unclustered).
+            # Bucket-pruned membership lookup + delta-sized joins,
+            # checkpointed before any store pointer moves.
+            new_pairs = _graph_changing_pairs(
+                edges_new,
+                cat.read_slice_for(
+                    T_MEMBERSHIP,
+                    graph.impacted_nodes(edges_new),
+                    "entity_key",
+                    schema_str(_MEMBERSHIP_SCHEMA, spark),
+                ),
+            ).localCheckpoint(eager=True)
+        if dry_run:
             prior = cat.read(T_EDGES, edges_schema)
             if mode == "FULL":
                 edges_current = edges_new
             else:
-                new_pairs = _truly_new_pairs(edges_new, prior)
                 edges_current = prior.unionByName(edges_new).dropDuplicates(edge_keys)
-        else:
-            # connectivity changes only where an endpoint PAIR didn't exist
-            # under ANY rule: compute the truly-new pairs BEFORE the merge
-            # (bucket-pruned prior read + delta-sized anti-join, checkpointed
-            # so the merge's pointer swap can't invalidate the lazy plan).
-            # Re-derived edges of re-signed watermark-boundary entities only
-            # refresh last_seen_ts in the MERGE — they must not drag their
-            # whole (possibly huge) clusters into the recluster.
-            new_pairs = _truly_new_pairs(
-                edges_new,
-                cat.read_slice_for(T_EDGES, edges_new, "left_entity_key", edges_schema),
-            ).localCheckpoint(eager=True)
+        elif mode == "INCR":
             cat.merge_upsert(
                 T_EDGES, edges_new, keys=edge_keys, update_cols=["last_seen_ts"],
                 bucket_col="left_entity_key",
@@ -1053,15 +1063,26 @@ def schema_str(s: str, spark: SparkSession):
     return StructType.fromDDL(s)
 
 
-def _truly_new_pairs(edges_new, prior_edges):
-    """Endpoint pairs of ``edges_new`` that exist under NO rule in
-    ``prior_edges`` — the rows that actually change graph connectivity.
-    A pair already linked by any rule contributes nothing to the recluster
-    (components are defined on endpoint pairs), so its re-derivation is a
-    pure last_seen_ts refresh in the edge MERGE."""
+def _graph_changing_pairs(edges_new, prior_members):
+    """Endpoint pairs of ``edges_new`` whose endpoints are NOT already
+    co-clustered in ``prior_members`` — the rows that actually change graph
+    connectivity. A pair whose endpoints share a resolved_id contributes
+    nothing to the recluster (components are unions of endpoint pairs);
+    either endpoint missing or differing means the pair must recluster —
+    which also makes crash recovery exact: edges merged by a failed run that
+    never published membership re-qualify here on the retry."""
     pair_cols = ["left_entity_key", "right_entity_key"]
+    ml = prior_members.select(
+        F.col("entity_key").alias("left_entity_key"), F.col("resolved_id").alias("_rl")
+    )
+    mr = prior_members.select(
+        F.col("entity_key").alias("right_entity_key"), F.col("resolved_id").alias("_rr")
+    )
     return (
         edges_new.select(*pair_cols)
         .distinct()
-        .join(prior_edges.select(*pair_cols), pair_cols, "left_anti")
+        .join(ml, "left_entity_key", "left")
+        .join(mr, "right_entity_key", "left")
+        .where(F.col("_rl").isNull() | F.col("_rr").isNull() | (F.col("_rl") != F.col("_rr")))
+        .select(*pair_cols)
     )

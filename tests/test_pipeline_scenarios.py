@@ -392,6 +392,47 @@ def test_incremental_full_cluster_relabel(spark, tmp_path):
     ), f"stale labels after merge: {m}"
 
 
+# crash recovery for the INCR recluster scope: INCR merges edges eagerly, so
+# a run that fails AFTER the edge MERGE but before publishing membership must
+# leave a state the retry fully repairs. The graph-changing-pairs gate tests
+# MEMBERSHIP (endpoints not co-clustered), not the edge store — an edge-store
+# anti-join would see the crashed run's edges as "already known" and strand
+# them unclustered forever.
+def test_incr_retry_reclusters_edges_merged_by_failed_run(spark, tmp_path):
+    from sql_identity_resolution_spark.plans.pipeline import ConvergenceError
+
+    t1, t2 = datetime(2026, 1, 1), datetime(2026, 2, 1)
+    src = tmp_path / "crm.parquet"
+    base = [("A", "a@x.com", "111", t1)]
+    write_parquet(pd.DataFrame(rows(base)), str(src))
+    cfg = make_cfg(tmp_path, rows(base))
+    IDRPipeline(spark, cfg).run("FULL")
+
+    # delta: B links to A (email), C links to B (phone) — diameter-2 chain,
+    # so hash_min with max_iters=1 fails AFTER the eager INCR edge merge
+    delta = base + [("B", "a@x.com", "222", t2), ("C", "c@x.com", "222", t2)]
+    write_parquet(pd.DataFrame(rows(delta)), str(src))
+    cfg_fail = make_cfg(
+        tmp_path, rows(delta), max_iters=1, cc_algorithm="hash_min",
+        cc_incr_local_max_edges=0,  # force the distributed loop so it CAN fail
+    )
+    pipe = IDRPipeline(spark, cfg_fail)
+    with pytest.raises(ConvergenceError):
+        pipe.run("INCR")
+    # edges are merged (valid facts), membership is NOT published for them
+    assert pipe.catalog.read("identity_edges_current").count() >= 2
+    m = memberships(pipe)
+    assert "crm:B" not in m and "crm:C" not in m
+
+    # retry with a working config: watermark never advanced, the delta
+    # re-derives, the already-merged pairs are non-co-clustered → recluster
+    pipe2 = IDRPipeline(spark, make_cfg(tmp_path, rows(delta)))
+    res = pipe2.run("INCR")
+    assert res.status.startswith("SUCCESS")
+    m = memberships(pipe2)
+    assert m["crm:A"] == m["crm:B"] == m["crm:C"] == "crm:A", f"stranded: {m}"
+
+
 # serial flush (flush_max_workers=1) publishes identical outputs to the
 # default concurrent pool — the heap-pressure fallback must not change results
 def test_serial_flush_same_outputs(spark, tmp_path):
