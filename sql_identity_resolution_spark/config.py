@@ -173,14 +173,15 @@ class EngineConfig:
     # threshold sits high; tune per workload.
     cc_star_threshold_edges: int = 100_000_000
     # INCR-only small-subgraph fast path: when the delta's impacted subgraph
-    # fits under this many edges (a bounded, metadata-scale collect — ~15 MB
-    # of keys at the default — regardless of corpus size, because the INCR
-    # subgraph tracks the delta, not the corpus), run union-find on the
-    # driver instead of paying the distributed loop's O(diameter) scheduler
-    # round-trips (~10-15 s fixed floor). Same labels, limit-guarded collect
-    # with automatic distributed fallback. 0 disables. FULL mode never uses
-    # it — corpus-sized graphs always run the distributed loops.
-    cc_incr_local_max_edges: int = 200_000
+    # fits under this many edges (a bounded, Arrow-batched collect — ~40 MB
+    # of keys at the default, union-find ~1.4 s — regardless of corpus size,
+    # because the INCR subgraph tracks the delta, not the corpus), run
+    # union-find on the driver instead of paying the distributed loop's
+    # O(diameter) scheduler round-trips (~10-15 s fixed floor). Same labels,
+    # limit-guarded collect with automatic distributed fallback. 0 disables.
+    # FULL mode never uses it — corpus-sized graphs always run the
+    # distributed loops.
+    cc_incr_local_max_edges: int = 500_000
     # CC rounds fused per Spark job: materialize + convergence-check every k
     # rounds (k=1 ≙ reference's per-iteration check; k>1 trades ≤k−1 extra
     # rounds for fewer job round-trips/materializations — see operators/graph.py)
