@@ -54,7 +54,10 @@ def impacted_nodes(edges_new: DataFrame) -> DataFrame:
 
 
 def subgraph(
-    edges_current: DataFrame, impacted: DataFrame, membership_current: DataFrame | None = None
+    edges_current: DataFrame,
+    impacted: DataFrame,
+    membership_current: DataFrame | None = None,
+    members_cover_edges: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(subgraph_nodes, subgraph_edges).
 
@@ -66,7 +69,38 @@ def subgraph(
     touched clusters makes incremental labels exactly equal to a full rerun's,
     while still touching only impacted clusters. Reference test semantics are
     preserved (superset ⇒ same components, docs/concepts/matching-algorithm.md:129-138).
-    """
+
+    ``members_cover_edges=True`` (requires membership_current) declares the
+    pipeline's steady-state invariant: every committed edge's endpoints share
+    a resolved_id — membership publishes a label for every subgraph node, and
+    a crashed run's unclustered edges re-qualify as graph-changing pairs on
+    retry (plans/pipeline.py), so at this call site no committed edge crosses
+    clusters. Under it the 1-hop expansion is provably redundant (a neighbor
+    across an old edge IS a co-member; a neighbor across a new edge IS
+    impacted) and the both-endpoint edge restriction collapses to a ONE-SIDED
+    left-key semi-join (left ∈ nodes ⟺ right ∈ nodes for old edges; new edges
+    have both endpoints impacted) — cutting the subgraph build from ~5 scans
+    of the edge store to 1 edge scan + 1 membership scan per INCR run (and
+    the left key is the edge store's bucket column, so a bucketed deployment
+    prunes that scan too)."""
+    if members_cover_edges:
+        if membership_current is None or "resolved_id" not in membership_current.columns:
+            raise ValueError("members_cover_edges=True requires membership_current")
+        touched_clusters = (
+            membership_current.join(impacted, "entity_key", "left_semi")
+            .select("resolved_id")
+            .distinct()
+        )
+        cluster_members = membership_current.join(
+            touched_clusters, "resolved_id", "left_semi"
+        ).select("entity_key")
+        nodes = impacted.union(cluster_members).distinct()
+        edges = edges_current.select("left_entity_key", "right_entity_key").join(
+            nodes.withColumnRenamed("entity_key", "left_entity_key"),
+            "left_entity_key",
+            "left_semi",
+        )
+        return nodes, edges
     hop1 = (
         edges_current.join(
             impacted.withColumnRenamed("entity_key", "ik"),

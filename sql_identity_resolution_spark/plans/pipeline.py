@@ -698,7 +698,15 @@ class IDRPipeline:
                 # existing edges don't change components — sql/common/30's
                 # edges_new semantics, restricted to graph-changing rows)
                 impacted = graph.impacted_nodes(new_pairs)
-                nodes, sub_edges = graph.subgraph(edges_current, impacted, membership_current)
+                nodes, sub_edges = graph.subgraph(
+                    edges_current, impacted, membership_current,
+                    # steady-state invariant holds at this call site: committed
+                    # edges never cross clusters (see _graph_changing_pairs for
+                    # the crash-retry argument) — 1-hop + the right-endpoint
+                    # restriction are provably redundant, saving ~4 edge-store
+                    # scans per INCR run
+                    members_cover_edges=True,
+                )
             cc = graph.connected_components(
                 nodes,
                 sub_edges,
