@@ -172,16 +172,17 @@ class EngineConfig:
     # AND still escalates, bounded at ~2 star-rounds of extra cost, so the
     # threshold sits high; tune per workload.
     cc_star_threshold_edges: int = 100_000_000
-    # INCR-only small-subgraph fast path: when the delta's impacted subgraph
-    # fits under this many edges (a bounded, Arrow-batched collect — ~40 MB
-    # of keys at the default, union-find ~1.4 s — regardless of corpus size,
-    # because the INCR subgraph tracks the delta, not the corpus), run
-    # union-find on the driver instead of paying the distributed loop's
-    # O(diameter) scheduler round-trips (~10-15 s fixed floor). Same labels,
-    # limit-guarded collect with automatic distributed fallback. 0 disables.
-    # FULL mode never uses it — corpus-sized graphs always run the
-    # distributed loops.
-    cc_incr_local_max_edges: int = 500_000
+    # Small-graph fast path: when the graph to cluster fits under this many
+    # edges (a bounded, Arrow-batched collect — ~40 MB of keys at the
+    # default, union-find ~1.4 s), run union-find on the driver instead of
+    # paying the distributed loop's O(diameter) scheduler round-trips
+    # (~10-15 s fixed floor). The gate is the MEASURED edge count (the same
+    # size-adaptive principle as AQE's broadcast threshold), so corpus-scale
+    # FULL graphs always exceed it and run distributed; INCR subgraphs are
+    # delta-sized by design and usually qualify regardless of corpus size.
+    # Same labels either way, limit-guarded collect with automatic
+    # distributed fallback. 0 disables.
+    cc_local_max_edges: int = 500_000
     # CC rounds fused per Spark job: materialize + convergence-check every k
     # rounds (k=1 ≙ reference's per-iteration check; k>1 trades ≤k−1 extra
     # rounds for fewer job round-trips/materializations — see operators/graph.py)

@@ -715,11 +715,12 @@ class IDRPipeline:
                 checkpoint_every=cfg.checkpoint_every,
                 edge_count_hint=res.edges_created,
                 star_threshold=cfg.cc_star_threshold_edges,
-                # INCR subgraphs are delta-sized by design: take the bounded
-                # driver union-find fast path under the cap (the distributed
-                # loop's per-round scheduler floor dwarfs the actual work
-                # there). FULL graphs are corpus-sized — always distributed.
-                local_max_edges=cfg.cc_incr_local_max_edges if mode == "INCR" else 0,
+                # bounded driver union-find fast path under the cap — gated
+                # on the MEASURED edge count, not the mode: INCR subgraphs
+                # are delta-sized by design; a FULL graph qualifies only when
+                # the corpus itself is tiny (corpus-scale graphs always
+                # exceed the cap and run distributed).
+                local_max_edges=cfg.cc_local_max_edges,
             )
             res.lp_iterations = cc.iterations
             res.lp_converged = cc.converged

@@ -333,6 +333,7 @@ def test_nonconvergence_blocks_publish(spark, tmp_path):
         ]),
         max_iters=1,
         cc_algorithm="hash_min",
+        cc_local_max_edges=0,  # force the distributed loop so it CAN fail
     )
     pipe = IDRPipeline(spark, cfg)
     with pytest.raises(ConvergenceError):
@@ -414,7 +415,7 @@ def test_incr_retry_reclusters_edges_merged_by_failed_run(spark, tmp_path):
     write_parquet(pd.DataFrame(rows(delta)), str(src))
     cfg_fail = make_cfg(
         tmp_path, rows(delta), max_iters=1, cc_algorithm="hash_min",
-        cc_incr_local_max_edges=0,  # force the distributed loop so it CAN fail
+        cc_local_max_edges=0,  # force the distributed loop so it CAN fail
     )
     pipe = IDRPipeline(spark, cfg_fail)
     with pytest.raises(ConvergenceError):
