@@ -490,12 +490,26 @@ class IDRPipeline:
                 # entity is a member; skip the pointless semi-join.
                 scoring_texts = texts
                 if mode == "INCR" and not delta_is_full:
-                    scoring_texts = texts.join(
-                        members.filter(
-                            F.col("identifier_type").isin(scored_types)
-                        ).select("entity_key").distinct(),
-                        "entity_key",
-                        "leftsemi",
+                    member_keys = (
+                        members.filter(F.col("identifier_type").isin(scored_types))
+                        .select("entity_key")
+                        .distinct()
+                    )
+                    # the store read itself is bucket-PRUNED to the impacted
+                    # members' buckets (the text column is the widest in the
+                    # warehouse — a full-store scan per micro-batch would be
+                    # the INCR path's largest IO term at corpus scale); delta
+                    # rows then replace prior rows exactly like the
+                    # _maintain_store view
+                    prior_slice = cat.read_slice_for(
+                        T_ENTITY_TEXTS, member_keys, "entity_key", texts_delta.schema
+                    )
+                    scoring_texts = (
+                        prior_slice.join(
+                            texts_delta.select("entity_key").distinct(), "entity_key", "left_anti"
+                        )
+                        .unionByName(texts_delta.select(*prior_slice.columns))
+                        .join(member_keys, "entity_key", "leftsemi")
                     )
                 if use_dense:
                     # ---- dense long-id path: fixed-width shuffles
