@@ -244,6 +244,15 @@ class EngineConfig:
     # declaring match_text_unique; the build is a flat projection of the
     # checkpointed entity frame, ~150 B/entity of int tokens).
     score_broadcast_max_entities: int = 5_000_000
+    # INCR edge MERGE strategy: merge-on-read appends a delta-sized update
+    # part for matched buckets instead of rewriting them (≙ Iceberg
+    # write.merge.mode=merge-on-read). The edge MERGE's only matched-row
+    # change is refreshing last_seen_ts on re-observed pairs, and those pairs
+    # scatter across every bucket — copy-on-write makes each INCR micro-batch
+    # rewrite O(edge table); merge-on-read makes it O(delta) with reads
+    # reconciling against the (delta-sized, AQE-broadcast) update-part keys.
+    # Compaction folds a bucket back to one part at max_parts_per_bucket.
+    edge_merge_on_read: bool = True
     # catalog bucket layout: default modulus for new bucketed tables + optional
     # per-table overrides (big fact tables want many buckets so a small delta's
     # MERGE rewrites a small table fraction; see sources/catalog.py sizing note)

@@ -690,11 +690,18 @@ class IDRPipeline:
             else:
                 edges_current = prior.unionByName(edges_new).dropDuplicates(edge_keys)
         elif mode == "INCR":
-            cat.merge_upsert(
-                T_EDGES, edges_new, keys=edge_keys, update_cols=["last_seen_ts"],
-                bucket_col="left_entity_key",
-            )
-            edges_current = cat.read(T_EDGES)
+            # eager (unlike FULL's deferred overwrite): LP + confidence read
+            # the post-merge store next. Timed as its own stage — at corpus
+            # scale this commit, not the scoring, caps INCR latency when
+            # copy-on-write rewrites every matched bucket (edge_merge_on_read
+            # keeps it O(delta); see sources/catalog.py merge-on-read).
+            with stage("edge_merge") as s:
+                cat.merge_upsert(
+                    T_EDGES, edges_new, keys=edge_keys, update_cols=["last_seen_ts"],
+                    bucket_col="left_entity_key", merge_on_read=cfg.edge_merge_on_read,
+                )
+                edges_current = cat.read(T_EDGES)
+                s.rows(res.edges_created)
 
         # -------- subgraph + connected components (stages 30/31)
         with stage("label_propagation") as s:

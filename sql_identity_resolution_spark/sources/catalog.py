@@ -44,6 +44,21 @@ partitions plus a fast-append manifest. This makes new-entity INCR deltas
 write IO even though their keys hash into every bucket. Buckets that
 accumulate ``max_parts_per_bucket`` part files are folded into the next
 merge's rewrite set (inline compaction, ≙ Iceberg rewrite_data_files).
+
+Merge-on-read (``merge_upsert(..., merge_on_read=True)``): buckets whose keys
+DO match existing rows normally rewrite (copy-on-write — correct but O(bucket)
+write IO even for a one-row update, e.g. refreshing ``last_seen_ts`` on a
+re-observed identity edge scattered across every bucket). With MoR the commit
+instead appends a small *update part* holding only the post-merge rows for the
+SOURCE keys (matched rows merged with their target values, new rows as-is) and
+marks it in the pointer (``upd: {bucket: [versions]}``); ``read()`` reconciles
+such buckets by anti-joining the base parts against the update-part keys
+(newest update part wins per key — AQE broadcasts the delta-sized key set).
+Write IO is O(delta) regardless of match placement — ≙ Iceberg MERGE with
+``write.merge.mode=merge-on-read`` (equality deletes + data files), including
+the read-time merge and the compaction cadence: a bucket reaching
+``max_parts_per_bucket`` parts is compacted back to a single reconciled
+rewrite on its next touch.
 """
 
 from __future__ import annotations
@@ -211,11 +226,80 @@ class Catalog:
                 if schema is None:
                     raise FileNotFoundError(f"bucketed table {name} is empty and no schema given")
                 return self.spark.createDataFrame([], schema)
+            umap = meta.get("upd") or {}
+            if umap:
+                return self._read_reconciled(name, meta, buckets, reader)
             return reader.parquet(*paths)
         parts = meta.get("parts")
         if parts:
             return reader.parquet(*[os.path.join(tdir, p) for p in parts])
         return reader.parquet(os.path.join(tdir, meta["version"]))
+
+    def _read_reconciled(self, name: str, meta: dict, buckets, reader) -> DataFrame:
+        """Bucketed read when some buckets carry merge-on-read update parts.
+
+        Buckets WITHOUT update parts stream through untouched (zero overhead).
+        For buckets WITH them: the newest update part wins per merge key
+        (update parts are totally ordered by version — commits to one table
+        are serialized), then base parts drop any key an update part holds
+        (anti-join; the update side is delta-sized, so AQE broadcasts it).
+        Keys never cross buckets (same hash ⇒ same bucket), so one global
+        anti-join over the update-carrying buckets is exact."""
+        tdir = self._tdir(name)
+        umap: dict = meta.get("upd") or {}
+        keys: list[str] = meta["mor_keys"]
+        bmap: dict = meta["buckets"]
+        items = (
+            bmap.items() if buckets is None else ((str(b), bmap[str(b)]) for b in buckets if str(b) in bmap)
+        )
+        plain_paths: list[str] = []
+        base_paths: list[str] = []
+        upd_by_version: dict[str, list[str]] = {}
+        for b, vs in items:
+            versions = self._bucket_versions(vs)
+            upd_vs = set(umap.get(b) or ())
+            if not upd_vs:
+                plain_paths += [os.path.join(tdir, v, f"_bucket={b}") for v in versions]
+                continue
+            for v in versions:
+                p = os.path.join(tdir, v, f"_bucket={b}")
+                if v in upd_vs:
+                    upd_by_version.setdefault(v, []).append(p)
+                else:
+                    base_paths.append(p)
+        frames: list[DataFrame] = []
+        upd_df = None
+        if upd_by_version:
+            ordered = sorted(upd_by_version)  # version names sort by commit time
+            upd_df = reader.parquet(*upd_by_version[ordered[-1]])
+            if len(ordered) > 1:
+                from functools import reduce
+
+                from pyspark.sql import Window
+
+                tagged = [
+                    reader.parquet(*upd_by_version[v]).withColumn("_mor_seq", F.lit(i))
+                    for i, v in enumerate(ordered)
+                ]
+                w = Window.partitionBy(*keys).orderBy(F.desc("_mor_seq"))
+                upd_df = (
+                    reduce(lambda a, b: a.unionByName(b), tagged)
+                    .withColumn("_mor_rn", F.row_number().over(w))
+                    .where(F.col("_mor_rn") == 1)
+                    .drop("_mor_rn", "_mor_seq")
+                )
+            frames.append(upd_df)
+        if base_paths:
+            base = reader.parquet(*base_paths)
+            if upd_df is not None:
+                base = base.join(upd_df.select(*keys).distinct(), keys, "left_anti")
+            frames.append(base)
+        if plain_paths:
+            frames.append(reader.parquet(*plain_paths))
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
 
     # ------------------------------------------------------------------ write
     def _commit(self, name: str, df: DataFrame) -> None:
@@ -254,12 +338,20 @@ class Catalog:
         base: dict | None,
         touched: set[int] | None = None,
         append_b: set[int] | None = None,
+        mor_b: set[int] | None = None,
+        mor_insert_rows: dict[str, int] | None = None,
+        mor_keys: list[str] | None = None,
     ) -> None:
         """Write ``df`` partitioned by bucket into ONE new version dir.
         ``df`` carries the FULL post-merge content of every bucket in
         ``touched`` (rewritten: pointer maps them to just this version) plus
         ONLY the new rows of every bucket in ``append_b`` (fast-append: this
-        version is added to the bucket's part list, prior parts stay live).
+        version is added to the bucket's part list, prior parts stay live)
+        plus ONLY the post-merge rows of the SOURCE keys for every bucket in
+        ``mor_b`` (merge-on-read update part: appended like fast-append but
+        flagged in the pointer so reads reconcile it against the base parts;
+        ``mor_insert_rows`` carries how many of its rows are genuinely new —
+        matched rows supersede rather than add, keeping bucket_rows exact).
         Untouched buckets keep their prior versions (shared, never rewritten).
         A rewritten bucket with no surviving rows is dropped from the map."""
         n_buckets = self._table_buckets(name, base)
@@ -274,7 +366,7 @@ class Catalog:
         # 48-task job, not an n_buckets-task job), capped at 4× parallelism
         # for big initial writes — hash-aligned, so a task still writes only
         # its own buckets (n/k writers per task, k chosen so that stays ≤~4).
-        k = (len(touched) if touched is not None else n_buckets) + len(append_b or ())
+        k = (len(touched) if touched is not None else n_buckets) + len(append_b or ()) + len(mor_b or ())
         k = max(1, min(n_buckets, k, 4 * max(8, self.spark.sparkContext.defaultParallelism)))
         (
             df.withColumn("_bucket", self._bucket_expr(bucket_col, n_buckets))
@@ -286,14 +378,23 @@ class Catalog:
         written = {d.split("=", 1)[1] for d in os.listdir(out) if d.startswith("_bucket=")}
         bmap = dict((base or {}).get("buckets") or {})
         brows = dict((base or {}).get("bucket_rows") or {})
+        umap = {k_: list(v) for k_, v in ((base or {}).get("upd") or {}).items()}
         append_strs = {str(b) for b in (append_b or set())}
+        mor_strs = {str(b) for b in (mor_b or set())}
         for b in touched or set():
             bmap.pop(str(b), None)
             brows.pop(str(b), None)
+            umap.pop(str(b), None)
         for b in written:
             n_new = _parquet_rows(os.path.join(out, f"_bucket={b}"))
-            if b in append_strs:
+            if b in append_strs or b in mor_strs:
                 prior = self._bucket_versions(bmap.get(b))
+                if b in mor_strs and prior:
+                    umap[b] = umap.get(b, []) + [version]
+                    # matched rows supersede, only genuine inserts add (a
+                    # bucket absent from the insert counts had none)
+                    if mor_insert_rows is not None:
+                        n_new = int(mor_insert_rows.get(b, 0))
                 bmap[b] = prior + [version] if prior else version
                 if b in brows:
                     brows[b] = int(brows[b]) + n_new
@@ -304,20 +405,22 @@ class Catalog:
             else:
                 bmap[b] = version
                 brows[b] = n_new
+                umap.pop(b, None)
+        ptr = {
+            "version": version,
+            "buckets": bmap,
+            "bucket_rows": brows,
+            "bucket_col": bucket_col,
+            "n_buckets": n_buckets,
+            "schema": df.schema.jsonValue(),
+            "committed_at": time.time(),
+        }
+        if umap:
+            ptr["upd"] = umap
+            ptr["mor_keys"] = mor_keys if mor_keys is not None else (base or {}).get("mor_keys")
         tmp = os.path.join(tdir, f".ptr_{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "version": version,
-                    "buckets": bmap,
-                    "bucket_rows": brows,
-                    "bucket_col": bucket_col,
-                    "n_buckets": n_buckets,
-                    "schema": df.schema.jsonValue(),
-                    "committed_at": time.time(),
-                },
-                f,
-            )
+            json.dump(ptr, f)
         os.replace(tmp, self._pointer_path(name))
         self._vacuum(name, keep=version)
         rewrote = len(touched) if touched is not None else len(written)
@@ -327,6 +430,8 @@ class Catalog:
             "appended_buckets": len(append_b or ()),
             "rewritten_fraction": round(rewrote / n_buckets, 4) if n_buckets else 1.0,
         }
+        if mor_b:
+            self.last_commit_stats[name]["upd_buckets"] = len(mor_b)
 
     def overwrite(self, name: str, df: DataFrame, bucket_col: str | None = None) -> None:
         if bucket_col is not None:
@@ -417,8 +522,11 @@ class Catalog:
         over by not rewriting the bucket's data. Buckets that already hold
         ``max_parts_per_bucket`` part files are folded into the rewrite set
         (inline compaction). Returns ``(meta, bexpr, rewrite_b, append_b,
-        cols)`` or None when the table isn't in bucketed layout (caller falls
-        back to the full-table merge)."""
+        cols, matched_b, over_b)`` — ``rewrite_b = matched_b ∪ over_b`` for
+        copy-on-write; a merge-on-read caller instead rewrites only
+        ``over_b`` and appends update parts for ``matched_b - over_b`` — or
+        None when the table isn't in bucketed layout (caller falls back to
+        the full-table merge)."""
         meta = self._pointer(name)
         if bucket_col is None or not meta or meta.get("buckets") is None:
             return None
@@ -440,7 +548,7 @@ class Catalog:
             if len(self._bucket_versions(bmap.get(str(b)))) >= self.max_parts_per_bucket
         }
         rewrite_b = matched_b | over
-        return meta, bexpr, rewrite_b, touched - rewrite_b, tgt_touched.columns
+        return meta, bexpr, rewrite_b, touched - rewrite_b, tgt_touched.columns, matched_b, over
 
     def merge_upsert(
         self,
@@ -449,6 +557,7 @@ class Catalog:
         keys: list[str],
         update_cols: list[str] | None = None,
         bucket_col: str | None = None,
+        merge_on_read: bool = False,
     ) -> None:
         """``MERGE INTO target USING source ON keys WHEN MATCHED THEN UPDATE SET
         update_cols WHEN NOT MATCHED THEN INSERT *`` — the reference's sink
@@ -464,6 +573,12 @@ class Catalog:
         them) switches the table to bucketed layout: only the buckets the
         source touches are read, merged, and rewritten — O(delta·buckets),
         not O(table), per commit.
+
+        ``merge_on_read=True`` (bucketed tables only): matched buckets append
+        a delta-sized update part instead of rewriting — O(delta) write IO
+        even when matched keys scatter across every bucket (≙ Iceberg
+        ``write.merge.mode=merge-on-read``; see module docstring). All
+        merges of one table must then use the same ``keys``.
         """
         if not self.exists(name):
             if bucket_col is not None:
@@ -487,9 +602,21 @@ class Catalog:
             merged = kept.unionByName(matched).unionByName(inserted)
             self._commit_merged(name, merged, bucket_col, meta, touched)
             return
-        meta, bexpr, rewrite_b, append_b, cols = plan
+        meta, bexpr, rewrite_b, append_b, cols, matched_b, over_b = plan
         if update_cols is None:
             update_cols = [c for c in cols if c not in keys]
+        mor_b: set[int] = set()
+        ins_counts: dict[str, int] = {}
+        if merge_on_read:
+            prior_keys = meta.get("mor_keys")
+            if prior_keys is not None and list(prior_keys) != list(keys):
+                raise ValueError(
+                    f"merge_on_read table {name} was merged on keys {prior_keys}, got {keys}"
+                )
+            # matched buckets become update-part appends; only buckets at the
+            # compaction threshold still rewrite (reconciled by read())
+            mor_b = matched_b - over_b
+            rewrite_b = over_b
         src = source.select(*cols)
         merged = None
         if rewrite_b:
@@ -502,6 +629,36 @@ class Catalog:
             )
             inserted = src_rw.join(target.select(*keys).distinct(), keys, "left_anti")
             merged = kept.unionByName(matched).unionByName(inserted)
+        if mor_b:
+            # update part: post-merge rows for the SOURCE keys only — matched
+            # rows take non-updated columns from the target, inserts pass
+            # through. Delta-sized; checkpointed so the insert-count job and
+            # the write run the target join once.
+            nonupd = [c for c in cols if c not in update_cols and c not in keys]
+            tgt = self.read(name, buckets=sorted(mor_b))
+            t_side = tgt.select(
+                *keys,
+                *[F.col(c).alias(f"_t_{c}") for c in nonupd],
+                F.lit(True).alias("_mor_m"),
+            )
+            src_mor = src.where(bexpr.isin([int(b) for b in mor_b]))
+            joined = src_mor.join(t_side, keys, "left").localCheckpoint(eager=True)
+            ins_counts = {
+                str(r["b"]): r["cnt"]
+                for r in joined.where(F.col("_mor_m").isNull())
+                .groupBy(bexpr.alias("b"))
+                .agg(F.count("*").alias("cnt"))
+                .collect()
+            }
+            upd_rows = joined.select(
+                *[
+                    F.col(c)
+                    if (c in keys or c in update_cols)
+                    else F.when(F.col("_mor_m").isNotNull(), F.col(f"_t_{c}")).otherwise(F.col(c)).alias(c)
+                    for c in cols
+                ]
+            )
+            merged = upd_rows if merged is None else merged.unionByName(upd_rows)
         if append_b:
             # buckets with zero key matches: every source row there is an
             # INSERT by construction — fast-append, kept rows stay on disk
@@ -514,7 +671,10 @@ class Catalog:
                 "appended_buckets": 0, "rewritten_fraction": 0.0,
             }
             return
-        self._commit_buckets(name, merged, bucket_col, base=meta, touched=rewrite_b, append_b=append_b)
+        self._commit_buckets(
+            name, merged, bucket_col, base=meta, touched=rewrite_b, append_b=append_b,
+            mor_b=mor_b, mor_insert_rows=ins_counts, mor_keys=keys if merge_on_read else None,
+        )
 
     def delete_insert(
         self, name: str, source: DataFrame, keys: list[str], bucket_col: str | None = None
@@ -534,7 +694,7 @@ class Catalog:
             merged = kept.unionByName(source.select(*target.columns))
             self._commit_merged(name, merged, bucket_col, meta, touched)
             return
-        meta, bexpr, rewrite_b, append_b, cols = plan
+        meta, bexpr, rewrite_b, append_b, cols, _, _ = plan
         src = source.select(*cols)
         merged = None
         if rewrite_b:

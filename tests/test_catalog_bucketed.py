@@ -149,6 +149,116 @@ def test_fast_append_compaction_at_max_parts(spark, tmp_path):
     assert cat.row_count("t") == 4
 
 
+def test_merge_on_read_appends_update_parts(spark, tmp_path):
+    """merge_on_read: matched buckets append a delta-sized update part instead
+    of rewriting (≙ Iceberg write.merge.mode=merge-on-read); reads reconcile
+    newest-wins per key; pointer row counts stay exact."""
+    cat = Catalog(spark, str(tmp_path / "wh"), n_buckets=4)
+    cat.overwrite("t", _mk(spark, [(f"k{i}", i) for i in range(32)]), bucket_col="k")
+    meta0 = json.load(open(os.path.join(cat._tdir("t"), "_CURRENT")))
+
+    # matched keys scattered across buckets + one new key: ZERO rewrites
+    src = _mk(spark, [("k3", 999), ("k7", 777), ("k11", 111), ("newA", 1)])
+    cat.merge_upsert("t", src, keys=["k"], bucket_col="k", merge_on_read=True)
+    stats = cat.last_commit_stats["t"]
+    assert stats["touched_buckets"] == 0 and stats.get("upd_buckets", 0) >= 1
+    meta1 = json.load(open(os.path.join(cat._tdir("t"), "_CURRENT")))
+    assert meta1.get("upd") and meta1.get("mor_keys") == ["k"]
+    for b, v0 in meta0["buckets"].items():  # every base part file stays live
+        assert Catalog._bucket_versions(meta1["buckets"][b])[0] == v0
+    got = {r["k"]: r["v"] for r in cat.read("t").collect()}
+    assert len(got) == 33 and got["k3"] == 999 and got["k7"] == 777
+    assert got["k5"] == 5 and got["newA"] == 1
+    assert cat.row_count("t") == 33  # matched rows supersede, inserts add
+
+    # a second update of the same key: newest update part wins
+    cat.merge_upsert("t", _mk(spark, [("k3", -3)]), keys=["k"], bucket_col="k", merge_on_read=True)
+    got = {r["k"]: r["v"] for r in cat.read("t").collect()}
+    assert got["k3"] == -3 and len(got) == 33
+    assert cat.row_count("t") == 33
+
+    # bucket-pruned read still reconciles
+    from pyspark.sql import functions as F
+
+    b_of_k3 = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit("k3").cast("string")), F.lit(4)).cast("int").alias("b")
+    ).first()["b"]
+    sliced_rows = cat.read("t", buckets=[b_of_k3]).collect()
+    sliced = {r["k"]: r["v"] for r in sliced_rows}
+    assert sliced["k3"] == -3
+    assert len(sliced_rows) == len(sliced)  # no superseded duplicates leak
+
+
+def test_merge_on_read_update_cols_semantics(spark, tmp_path):
+    """update_cols: matched rows keep the target's non-updated columns, take
+    the source's updated ones — exactly like the copy-on-write branch (the
+    reference edge MERGE refreshes last_seen_ts but keeps first_seen_ts)."""
+    cat = Catalog(spark, str(tmp_path / "wh"), n_buckets=2)
+    cat.overwrite(
+        "t", _mk(spark, [("a", 1, 10), ("b", 2, 20)], "k string, v int, keep int"), bucket_col="k"
+    )
+    src = _mk(spark, [("a", 100, -1), ("c", 3, 30)], "k string, v int, keep int")
+    cat.merge_upsert("t", src, keys=["k"], update_cols=["v"], bucket_col="k", merge_on_read=True)
+    got = {r["k"]: (r["v"], r["keep"]) for r in cat.read("t").collect()}
+    # matched 'a': v from source, keep from TARGET; new 'c': both from source
+    assert got == {"a": (100, 10), "b": (2, 20), "c": (3, 30)}
+    assert cat.row_count("t") == 3
+
+
+def test_merge_on_read_compacts_at_max_parts(spark, tmp_path):
+    """Update parts accumulate per bucket up to max_parts_per_bucket, then the
+    bucket folds back to a single reconciled rewrite (inline compaction)."""
+    cat = Catalog(spark, str(tmp_path / "wh"), n_buckets=1, max_parts_per_bucket=3)
+    cat.overwrite("t", _mk(spark, [("k0", 0), ("k1", 1)]), bucket_col="k")
+    for i in (10, 20):  # two MoR updates → 3 live parts
+        cat.merge_upsert("t", _mk(spark, [("k0", i)]), keys=["k"], bucket_col="k", merge_on_read=True)
+        assert cat.last_commit_stats["t"]["touched_buckets"] == 0
+    meta = json.load(open(os.path.join(cat._tdir("t"), "_CURRENT")))
+    assert len(Catalog._bucket_versions(meta["buckets"]["0"])) == 3 and meta.get("upd")
+
+    cat.merge_upsert("t", _mk(spark, [("k1", 99)]), keys=["k"], bucket_col="k", merge_on_read=True)
+    assert cat.last_commit_stats["t"]["touched_buckets"] == 1  # compacted
+    meta = json.load(open(os.path.join(cat._tdir("t"), "_CURRENT")))
+    assert len(Catalog._bucket_versions(meta["buckets"]["0"])) == 1
+    assert not meta.get("upd")  # reconciled away
+    got = {r["k"]: r["v"] for r in cat.read("t").collect()}
+    assert got == {"k0": 20, "k1": 99}
+    assert cat.row_count("t") == 2
+
+
+def test_merge_on_read_matches_copy_on_write(spark, tmp_path):
+    """Property check: the same merge sequence applied MoR and CoW yields
+    identical read-back content and row counts at every step."""
+    cat = Catalog(spark, str(tmp_path / "wh"), n_buckets=4, max_parts_per_bucket=4)
+    base = [(f"k{i}", i, i * 10) for i in range(24)]
+    for t in ("mor", "cow"):
+        cat.overwrite(t, _mk(spark, base, "k string, v int, keep int"), bucket_col="k")
+    steps = [
+        ([("k1", 100, -1), ("k2", 200, -2), ("x1", 1, 1)], ["v"]),
+        ([("k1", 101, -1), ("x2", 2, 2), ("x1", 5, 5)], None),
+        ([(f"k{i}", -i, 0) for i in range(0, 24, 3)], ["v", "keep"]),
+        ([("y1", 7, 7)], ["v"]),
+    ]
+    for rows, ucols in steps:
+        src = _mk(spark, rows, "k string, v int, keep int")
+        cat.merge_upsert("mor", src, keys=["k"], update_cols=ucols, bucket_col="k", merge_on_read=True)
+        cat.merge_upsert("cow", src, keys=["k"], update_cols=ucols, bucket_col="k")
+        got_m = {r["k"]: (r["v"], r["keep"]) for r in cat.read("mor").collect()}
+        got_c = {r["k"]: (r["v"], r["keep"]) for r in cat.read("cow").collect()}
+        assert got_m == got_c
+        assert cat.row_count("mor") == cat.row_count("cow") == len(got_m)
+
+
+def test_merge_on_read_key_mismatch_raises(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"), n_buckets=2)
+    cat.overwrite("t", _mk(spark, [("a", 1)]), bucket_col="k")
+    cat.merge_upsert("t", _mk(spark, [("a", 2)]), keys=["k"], bucket_col="k", merge_on_read=True)
+    with pytest.raises(ValueError, match="merged on keys"):
+        cat.merge_upsert(
+            "t", _mk(spark, [("a", 3)]), keys=["k", "v"], bucket_col="k", merge_on_read=True
+        )
+
+
 def test_unbucketed_table_converts_on_first_bucketed_merge(spark, tmp_path):
     cat = Catalog(spark, str(tmp_path / "wh"), n_buckets=4)
     cat.overwrite("t", _mk(spark, [("a", 1), ("b", 2)]))  # legacy flat layout

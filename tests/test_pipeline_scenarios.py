@@ -436,6 +436,51 @@ def test_incr_retry_reclusters_edges_merged_by_failed_run(spark, tmp_path):
 
 # serial flush (flush_max_workers=1) publishes identical outputs to the
 # default concurrent pool — the heap-pressure fallback must not change results
+def test_edge_merge_on_read_parity(spark, tmp_path):
+    """INCR with edge_merge_on_read (update parts + read-time reconcile) must
+    publish byte-identical state to copy-on-write: same memberships, same edge
+    rows INCLUDING the matched-row semantics (first_seen_ts kept from the
+    target, last_seen_ts refreshed from the source re-observation)."""
+    t1, t2, t3 = datetime(2026, 1, 1), datetime(2026, 2, 1), datetime(2026, 3, 1)
+    base = [("A", "a@x.com", "111", t1), ("B", "a@x.com", "222", t1)]
+    batch2 = base + [("C", "a@x.com", "222", t2)]           # re-observes A–B pairs
+    batch3 = batch2 + [("D", "d@x.com", "999", t3), ("A", "a@x.com", "111", t3)]
+
+    def run_variant(sub, mor):
+        (tmp_path / sub).mkdir()
+        src = tmp_path / sub / "crm.parquet"
+        write_parquet(pd.DataFrame(rows(base)), str(src))
+        cfg = EngineConfig(
+            warehouse=str(tmp_path / sub / "wh"),
+            sources=[SourceTable("crm", "entity_id", "updated_at", path=str(src))],
+            rules=[
+                Rule("R_EMAIL_EXACT", "EMAIL", "Email exact", priority=1, canonicalize="LOWERCASE"),
+                Rule("R_PHONE_EXACT", "PHONE", "Phone exact", priority=2),
+            ],
+            mappings=[
+                IdentifierMapping("crm", "EMAIL", "email"),
+                IdentifierMapping("crm", "PHONE", "phone"),
+            ],
+            edge_merge_on_read=mor,
+        )
+        pipe = IDRPipeline(spark, cfg)
+        pipe.run("FULL")
+        for batch in (batch2, batch3):
+            write_parquet(pd.DataFrame(rows(batch)), str(src))
+            pipe.run("INCR")
+        raw = [tuple(r) for r in pipe.catalog.read("identity_edges_current").collect()]
+        # first/last_seen are wall-clock run timestamps — normalize to the
+        # rank of the run that stamped them so the two variants compare
+        ts_rank = {t: i for i, t in enumerate(sorted({v for r in raw for v in r[-2:]}))}
+        edges = sorted(r[:-2] + (ts_rank[r[-2]], ts_rank[r[-1]]) for r in raw)
+        return memberships(pipe), edges
+
+    m_mor, e_mor = run_variant("mor", True)
+    m_cow, e_cow = run_variant("cow", False)
+    assert m_mor == m_cow
+    assert e_mor == e_cow  # full rows: keys + first_seen/last_seen semantics
+
+
 def test_serial_flush_same_outputs(spark, tmp_path):
     data = rows([
         ("A001", "a@x.com", "111"),
