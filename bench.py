@@ -134,6 +134,7 @@ def run_bench(n_conversations: int | None = None) -> dict:
             "entities_per_sec": round(n_conversations / idr_sec, 1),
             "edges": res.edges_created,
             "lp_iterations": res.lp_iterations,
+            "cc_path": res.cc_path,
             "stage_seconds": res.stage_seconds,
         }
         timings["idr_full_pipeline"] = idr_sec
@@ -158,6 +159,7 @@ def run_bench(n_conversations: int | None = None) -> dict:
             "entities_processed": res_i.entities_processed,
             "edges_created": res_i.edges_created,
             "delta_turns_per_sec": round(len(delta_turns) / incr_sec, 1),
+            "cc_path": res_i.cc_path,
             "stage_seconds": res_i.stage_seconds,
             # fraction of each bucketed table this INCR actually rewrote
             "store_commits": res_i.store_commits,
@@ -285,7 +287,7 @@ def run_bench(n_conversations: int | None = None) -> dict:
     }
 
 
-def run_retail(n_rows: int, dense: bool = False) -> None:
+def run_retail(n_rows: int, dense: bool = False, mix: str = "committed") -> None:
     """Reference-parity campaign: the published 10M-row EXACT-only retail
     benchmark (BASELINE.md:10-20 — DuckDB 143 s / Snowflake 168 s / BigQuery
     295 s / Databricks 317 s) on a corpus with the reference generator's
@@ -313,7 +315,7 @@ def run_retail(n_rows: int, dense: bool = False) -> None:
     wh = tempfile.mkdtemp(prefix="idr_retail_wh_")
     try:
         path = os.path.join(corpus, "customers")
-        df = generate_retail_spark(spark, n_rows, seed=42, dense=dense).drop("truth_cluster_id")
+        df = generate_retail_spark(spark, n_rows, seed=42, dense=dense, mix=mix).drop("truth_cluster_id")
         df.repartition(max(32, int(CPUS))).write.parquet(path)
         actual_rows = spark.read.parquet(path).count()
         source, rules, mappings = retail_source("retail", path)
@@ -329,7 +331,7 @@ def run_retail(n_rows: int, dense: bool = False) -> None:
                     "metric": "retail_parity_seconds",
                     "value": sec,
                     "unit": "sec",
-                    "corpus": "dense (published-edge-volume calibration)" if dense else "standard (committed 20m_standard.yaml config)",
+                    "corpus": ("published-mix (cluster-size + edge-volume calibration)" if mix == "published" else "dense (published-edge-volume calibration)" if dense else "standard (committed 20m_standard.yaml config)"),
                     "rows": actual_rows,
                     "entities_per_sec": round(actual_rows / sec, 1),
                     "edges": res.edges_created,
@@ -414,6 +416,7 @@ def scaling_worker(turns_path: str, cpus: int) -> None:
                 "turns_per_sec": round(n_turns / sec, 1),
                 "edges": res.edges_created,
                 "lp_iterations": res.lp_iterations,
+                "cc_path": res.cc_path,
                 "stage_seconds": res.stage_seconds,
             }
         )
@@ -524,6 +527,34 @@ if __name__ == "__main__":
     elif "--retail" in sys.argv:
         i = sys.argv.index("--retail")
         n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 10_000_000
-        run_retail(n, dense="--dense" in sys.argv)
+        run_retail(n, dense="--dense" in sys.argv,
+                   mix="published" if "--published-mix" in sys.argv else "committed")
     else:
-        print(json.dumps(run_bench()))
+        full = run_bench()
+        # the driver captures only the TAIL of stdout (≈2000 chars):
+        # round 4's single giant line (spreads + econ + store-commit stats)
+        # overflowed it and the official record lost its per-query numbers.
+        # Full nested JSON goes to a file; the FINAL stdout line is a compact
+        # summary (metric/value/queries/sf/cpus + pointer) that always fits.
+        full_path = os.path.abspath(
+            os.environ.get("SPARK_GRAFT_BENCH_FULL_JSON", "BENCH_FULL.json")
+        )
+        with open(full_path, "w") as fh:
+            json.dump(full, fh, indent=1)
+        compact = {
+            "metric": full["metric"],
+            "value": full["value"],
+            "unit": full["unit"],
+            "queries": full["queries"],
+            "sf": full["sf"],
+            "cpus": full["cpus"],
+            "idr_full_s": full["idr"]["seconds"],
+            "idr_incr_s": full["idr"]["incr"]["seconds"],
+            "cc_path": full["idr"].get("cc_path", ""),
+            "full_json": full_path,
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) > 1900:  # belt-and-braces: drop per-query detail last
+            compact["queries"] = {k: round(v, 1) for k, v in compact["queries"].items()}
+            line = json.dumps(compact, separators=(",", ":"))
+        print(line)

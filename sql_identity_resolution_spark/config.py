@@ -253,6 +253,24 @@ class EngineConfig:
     # reconciling against the (delta-sized, AQE-broadcast) update-part keys.
     # Compaction folds a bucket back to one part at max_parts_per_bucket.
     edge_merge_on_read: bool = True
+    # INCR membership/clusters/golden sink strategy: these are full-row
+    # delete+inserts keyed by entity_key / resolved_id whose impacted-cluster
+    # semantics legitimately touch rows in most buckets every micro-batch —
+    # copy-on-write made the membership commit rewrite 32/32 buckets
+    # (O(table) write IO) even for a 0.1% delta, the last O(corpus) term on
+    # the chained-INCR path (round-4 measurement). Merge-on-read appends the
+    # delta-sized update rows instead; reads reconcile by key (newest wins,
+    # commit-ordered), compaction bounds part counts per bucket.
+    store_merge_on_read: bool = True
+    # force the INCR subgraph build to the safe 1-hop + both-endpoint edge
+    # restriction even when the steady-state invariant (no committed edge
+    # crosses clusters) would allow the 1-scan fast form. The pipeline also
+    # falls back AUTOMATICALLY for the first INCR run after the MATCH
+    # semantics change (rules/mappings/exclusions — see match_signature):
+    # edges committed under the old semantics may cross clusters that the new
+    # semantics would not have formed, and the fast form would silently drop
+    # edges whose right endpoint is impacted but left is not.
+    incr_safe_edge_restriction: bool = False
     # catalog bucket layout: default modulus for new bucketed tables + optional
     # per-table overrides (big fact tables want many buckets so a small delta's
     # MERGE rewrites a small table fraction; see sources/catalog.py sizing note)
@@ -267,3 +285,37 @@ class EngineConfig:
             if r.identifier_type == identifier_type:
                 return r
         return None
+
+    def match_signature(self) -> str:
+        """Deterministic digest of the MATCH semantics — everything that
+        decides which edges exist: rules (strategy/threshold/canonicalize/
+        gates), identifier mappings, exclusions, and each source's identity
+        shape (table_id + entity_key_expr; NOT paths — data churn is the
+        normal INCR case). The pipeline stores it per committed run and, on
+        an INCR run whose signature differs from the last committed one,
+        falls back to the safe subgraph edge restriction for that run: edges
+        committed under different semantics may violate the no-edge-crosses-
+        clusters invariant the fast 1-scan form relies on."""
+        import hashlib
+        import json as _json
+
+        payload = {
+            "rules": sorted(
+                (r.rule_id, r.identifier_type, r.is_active, r.priority, r.canonicalize,
+                 r.allow_hashed, r.require_non_null, r.max_group_size, r.match_strategy,
+                 r.scorer, float(r.threshold))
+                for r in self.rules
+            ),
+            "mappings": sorted(
+                (m.table_id, m.identifier_type, m.identifier_value_expr, m.is_hashed, m.explodes)
+                for m in self.mappings
+            ),
+            "exclusions": sorted(
+                (e.identifier_type, e.identifier_value_pattern, e.match_type)
+                for e in self.exclusions
+            ),
+            "sources": sorted(
+                (s.table_id, s.entity_key_expr, s.is_active) for s in self.sources
+            ),
+        }
+        return hashlib.sha256(_json.dumps(payload, sort_keys=True).encode()).hexdigest()

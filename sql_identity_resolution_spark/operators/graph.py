@@ -42,6 +42,11 @@ class CCResult:
     labels: DataFrame  # (entity_key, label)
     iterations: int
     converged: bool
+    # which execution path produced the labels — surfaced as RunResult.cc_path
+    # and in bench JSON so a reader can tell a distributed-LP timing from the
+    # bounded driver union-find fast path: "hash_min" | "star" |
+    # "hash_min+star" (probe escalated) | "local_union_find"
+    path: str = "distributed"
 
 
 def impacted_nodes(edges_new: DataFrame) -> DataFrame:
@@ -177,7 +182,7 @@ def _with_long_ids(algo_fn, nodes: DataFrame, edges: DataFrame, **kw) -> CCResul
     with_keys = res.labels.join(mapping, "nid").select("entity_key", "lid")
     reps = with_keys.groupBy("lid").agg(F.min("entity_key").alias("label"))
     labels = with_keys.join(reps.hint("shuffle_hash"), "lid").select("entity_key", "label")
-    return CCResult(labels=labels, iterations=res.iterations, converged=res.converged)
+    return CCResult(labels=labels, iterations=res.iterations, converged=res.converged, path=res.path)
 
 
 def _hash_min_lp_long(nodes: DataFrame, edges: DataFrame, max_iters: int, checkpoint_every: int) -> CCResult:
@@ -233,7 +238,7 @@ def _hash_min_lp_long(nodes: DataFrame, edges: DataFrame, max_iters: int, checkp
         if not delta:
             converged = True
             break
-    return CCResult(labels=labels, iterations=iterations, converged=converged)
+    return CCResult(labels=labels, iterations=iterations, converged=converged, path="hash_min")
 
 
 def hash_min_lp(
@@ -337,7 +342,7 @@ def _alternating_star_long(
             "left",
         ).select("nid", F.coalesce("lid", "nid").alias("lid"))
     )
-    return CCResult(labels=labels, iterations=iterations, converged=converged)
+    return CCResult(labels=labels, iterations=iterations, converged=converged, path="star")
 
 
 def alternating_star(
@@ -412,7 +417,7 @@ def _local_union_find(nodes: DataFrame, edges: DataFrame, max_edges: int) -> CCR
     labels = [(k, find(k)) for k in sorted(keys)]
     spark = nodes.sparkSession
     df = spark.createDataFrame(labels, "entity_key string, label string")
-    return CCResult(labels=df, iterations=1, converged=True)
+    return CCResult(labels=df, iterations=1, converged=True, path="local_union_find")
 
 
 def connected_components(
@@ -438,9 +443,14 @@ def connected_components(
     the probe's partial labels contract the graph the star loop runs on.
 
     ``local_max_edges > 0`` enables the bounded driver-side union-find fast
-    path (see ``_local_union_find``) — the pipeline passes it for INCR
-    subgraphs only; FULL-mode graphs are corpus-sized by construction and
-    always run distributed."""
+    path (see ``_local_union_find``). The pipeline passes it in BOTH modes
+    (plans/pipeline.py run loop) — the gate is the MEASURED edge count, not
+    the mode, mirroring AQE's size-adaptive planning: INCR subgraphs are
+    delta-sized by design and usually qualify; a FULL graph qualifies only
+    when the whole corpus is tiny (corpus-scale graphs exceed the cap and
+    run distributed). ``CCResult.path`` records which path actually ran, and
+    the pipeline/bench surface it as ``cc_path`` so a timing is always
+    attributable."""
     if local_max_edges > 0 and (edge_count_hint is None or edge_count_hint <= local_max_edges):
         local = _local_union_find(nodes, edges, local_max_edges)
         if local is not None:
@@ -493,6 +503,7 @@ def connected_components(
                 labels=final,
                 iterations=probe.iterations + star.iterations,
                 converged=star.converged,
+                path="hash_min+star",
             )
     if algorithm == "star":
         return alternating_star(nodes, edges, max_iters=max(max_iters, 50), checkpoint_every=checkpoint_every)

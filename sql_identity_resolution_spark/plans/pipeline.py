@@ -40,6 +40,10 @@ T_MEMBERSHIP = "identity_resolved_membership_current"
 T_CLUSTERS = "identity_clusters_current"
 T_GOLDEN = "golden_profile_current"
 T_RUN_STATE = "run_state"
+# match-semantics signature of the last committed run (config.match_signature):
+# an INCR run under a CHANGED signature takes the safe subgraph edge
+# restriction — edges committed under old rules may cross clusters
+T_CONFIG_STATE = "engine_config_state"
 T_RUN_HISTORY = "run_history"
 T_STAGE_METRICS = "stage_metrics"
 T_SKIPPED = "skipped_identifier_groups"
@@ -112,6 +116,10 @@ class RunResult:
     clusters_impacted: int = 0
     lp_iterations: int = 0
     lp_converged: bool = True
+    # which CC execution path labeled this run's subgraph (CCResult.path):
+    # "hash_min" / "star" / "hash_min+star" / "local_union_find" — lets a
+    # bench reader tell a distributed-LP timing from the driver fast path
+    cc_path: str = ""
     duration_seconds: float = 0.0
     stage_seconds: dict = field(default_factory=dict)
     # bucketed-table commit stats of this run ({table: {n_buckets,
@@ -265,9 +273,23 @@ class IDRPipeline:
         return view
 
     # ------------------------------------------------------------------- run
+    def _last_match_signature(self) -> str | None:
+        """match_signature of the last committed run (None if never recorded).
+        One tiny single-row-table read per INCR run — metadata scale."""
+        if not self.catalog.exists(T_CONFIG_STATE):
+            return None
+        row = (
+            self.catalog.read(T_CONFIG_STATE)
+            .where(F.col("k") == F.lit("match_signature"))
+            .select("v")
+            .first()
+        )
+        return row["v"] if row else None
+
     def run(self, mode: str = "FULL", dry_run: bool = False, run_id: str | None = None) -> RunResult:
         spark, cfg, cat = self.spark, self.cfg, self.catalog
         mode = mode.upper()
+        run_sig = cfg.match_signature()
         run_id = run_id or f"run_{datetime.now(timezone.utc).strftime('%Y%m%d%H%M%S')}_{uuid.uuid4().hex[:8]}"
         run_ts = datetime.now(timezone.utc).replace(tzinfo=None)
         res = RunResult(run_id=run_id, mode=mode, dry_run=dry_run)
@@ -719,14 +741,30 @@ class IDRPipeline:
                 # existing edges don't change components — sql/common/30's
                 # edges_new semantics, restricted to graph-changing rows)
                 impacted = graph.impacted_nodes(new_pairs)
+                # steady-state invariant at this call site: committed edges
+                # never cross clusters (see _graph_changing_pairs for the
+                # crash-retry argument; the flush commits membership LAST so
+                # every partial-commit window re-qualifies on retry) — 1-hop
+                # + the right-endpoint restriction are provably redundant,
+                # saving ~4 edge-store scans per INCR run. The invariant can
+                # break when MATCH SEMANTICS changed since the last committed
+                # run (old edges may cross clusters the new rules would not
+                # form), so the first INCR under a changed match_signature —
+                # or incr_safe_edge_restriction=True — takes the safe 1-hop +
+                # both-endpoint form instead.
+                fast_ok = not cfg.incr_safe_edge_restriction
+                if fast_ok:
+                    prior_sig = self._last_match_signature()
+                    fast_ok = prior_sig == run_sig
+                    if not fast_ok:
+                        res.warnings.append(
+                            "match semantics changed since last committed run "
+                            "(or no signature recorded): using safe subgraph "
+                            "edge restriction for this run"
+                        )
                 nodes, sub_edges = graph.subgraph(
                     edges_current, impacted, membership_current,
-                    # steady-state invariant holds at this call site: committed
-                    # edges never cross clusters (see _graph_changing_pairs for
-                    # the crash-retry argument) — 1-hop + the right-endpoint
-                    # restriction are provably redundant, saving ~4 edge-store
-                    # scans per INCR run
-                    members_cover_edges=True,
+                    members_cover_edges=fast_ok,
                 )
             cc = graph.connected_components(
                 nodes,
@@ -745,6 +783,7 @@ class IDRPipeline:
             )
             res.lp_iterations = cc.iterations
             res.lp_converged = cc.converged
+            res.cc_path = cc.path
             if not cc.converged:
                 # HARD FAIL (≙ IDR_Run.py:493-494): no membership/cluster/golden
                 # MERGE may run on non-converged labels. Record the failed run
@@ -953,13 +992,32 @@ class IDRPipeline:
                     if st_op == "overwrite":
                         cat.overwrite(st_name, st_df, bucket_col=st_bucket)
                     else:
-                        cat.delete_insert(st_name, st_df, keys=st_keys, bucket_col=st_bucket)
+                        cat.delete_insert(
+                            st_name, st_df, keys=st_keys, bucket_col=st_bucket,
+                            merge_on_read=cfg.store_merge_on_read,
+                        )
 
+            # COMMIT-ORDER BARRIER: T_MEMBERSHIP publishes LAST, after every
+            # other store/append in the pool completes. The INCR retry's
+            # recluster scope is gated on membership co-clustering
+            # (_graph_changing_pairs): if a crash left membership PUBLISHED
+            # but clusters/golden UNpublished, the retry would see the pairs
+            # already co-clustered, find an empty impacted set, and never
+            # recompute the downstream tables — permanently stale. With
+            # membership last, any crash window that leaves a downstream
+            # table unpublished also leaves membership unpublished, so the
+            # retry re-qualifies the pairs and re-derives everything
+            # (idempotent delete+insert). Costs nothing at steady state: the
+            # membership commit is one of the largest writes and would end
+            # the pool anyway.
             flush_tasks = [
                 ("append", T_AUDIT, audit),
                 ("append", T_IDENTIFIER_QUALITY, quality),
                 ("append", T_LINEAGE, lineage),
             ] + [("store", *entry) for entry in self._pending_stores]
+            is_membership = lambda t: t[0] == "store" and t[1] == T_MEMBERSHIP
+            last_tasks = [t for t in flush_tasks if is_membership(t)]
+            flush_tasks = [t for t in flush_tasks if not is_membership(t)]
             n_flush = max(1, int(cfg.flush_max_workers))
             if len(flush_tasks) > 1 and n_flush > 1:
                 from concurrent.futures import ThreadPoolExecutor
@@ -969,6 +1027,8 @@ class IDRPipeline:
             else:
                 for entry in flush_tasks:
                     _flush(entry)
+            for entry in last_tasks:
+                _flush(entry)
             self._pending_stores = []
             if self._ids_count_from_pointer and not dry_run:
                 # INCR metric backfill: exact post-merge store total from the
@@ -1007,6 +1067,16 @@ class IDRPipeline:
                     )
                 )
                 cat.merge_upsert(T_RUN_STATE, wm_updates, keys=["table_id"])
+                # record the match semantics this committed state was built
+                # under — the next INCR compares and falls back to the safe
+                # subgraph restriction if they differ
+                cat.merge_upsert(
+                    T_CONFIG_STATE,
+                    spark.createDataFrame(
+                        [("match_signature", run_sig, run_id)], "k string, v string, last_run_id string"
+                    ),
+                    keys=["k"],
+                )
             s.rows(0)
 
         # -------- dry-run diff (idr_run.py:705-746)

@@ -270,7 +270,11 @@ class Catalog:
         frames: list[DataFrame] = []
         upd_df = None
         if upd_by_version:
-            ordered = sorted(upd_by_version)  # version names sort by commit time
+            # authoritative commit order from the pointer (upd_order); name
+            # sort only for legacy pointers predating it (name order can
+            # tie-break randomly within one millisecond)
+            pos = {v: i for i, v in enumerate(meta.get("upd_order") or [])}
+            ordered = sorted(upd_by_version, key=lambda v: (pos.get(v, -1), v))
             upd_df = reader.parquet(*upd_by_version[ordered[-1]])
             if len(ordered) > 1:
                 from functools import reduce
@@ -379,6 +383,11 @@ class Catalog:
         bmap = dict((base or {}).get("buckets") or {})
         brows = dict((base or {}).get("bucket_rows") or {})
         umap = {k_: list(v) for k_, v in ((base or {}).get("upd") or {}).items()}
+        # monotonic commit order of update-part versions: version DIR names
+        # sort by millisecond + random hex, so two serialized commits inside
+        # one ms could tie-break randomly and let an older update part win
+        # newest-wins reconciliation — this list is the authoritative order
+        uorder = [v for v in ((base or {}).get("upd_order") or [])]
         append_strs = {str(b) for b in (append_b or set())}
         mor_strs = {str(b) for b in (mor_b or set())}
         for b in touched or set():
@@ -418,6 +427,11 @@ class Catalog:
         if umap:
             ptr["upd"] = umap
             ptr["mor_keys"] = mor_keys if mor_keys is not None else (base or {}).get("mor_keys")
+            live_upd = {v for vs in umap.values() for v in vs}
+            uorder = [v for v in uorder if v in live_upd]
+            if mor_strs and version in live_upd:
+                uorder.append(version)
+            ptr["upd_order"] = uorder
         tmp = os.path.join(tdir, f".ptr_{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as f:
             json.dump(ptr, f)
@@ -677,10 +691,25 @@ class Catalog:
         )
 
     def delete_insert(
-        self, name: str, source: DataFrame, keys: list[str], bucket_col: str | None = None
+        self,
+        name: str,
+        source: DataFrame,
+        keys: list[str],
+        bucket_col: str | None = None,
+        merge_on_read: bool = False,
     ) -> None:
         """DELETE-matching-then-INSERT (reference clusters sink,
-        sql/duckdb/core/idr_run.py:544-552). ``bucket_col``: see merge_upsert."""
+        sql/duckdb/core/idr_run.py:544-552). ``bucket_col``: see merge_upsert.
+
+        ``merge_on_read=True`` (bucketed tables only): matched buckets append
+        a delta-sized update part instead of rewriting. The update part for a
+        delete+insert is simply the SOURCE rows (they ARE the post-merge
+        content for their keys — no target join needed); ``read()``
+        reconciles by dropping every base row whose key an update part holds,
+        which is exactly DELETE-matching semantics even for keys with
+        multiple prior rows. Write IO becomes O(delta) instead of O(touched
+        buckets' content) — the term that capped chained-INCR latency when
+        the membership sink rewrote 32/32 buckets per micro-batch."""
         if not self.exists(name):
             if bucket_col is not None:
                 self._commit_buckets(name, source, bucket_col, base=None)
@@ -694,7 +723,17 @@ class Catalog:
             merged = kept.unionByName(source.select(*target.columns))
             self._commit_merged(name, merged, bucket_col, meta, touched)
             return
-        meta, bexpr, rewrite_b, append_b, cols, _, _ = plan
+        meta, bexpr, rewrite_b, append_b, cols, matched_b, over_b = plan
+        mor_b: set[int] = set()
+        ins_counts: dict[str, int] = {}
+        if merge_on_read:
+            prior_keys = meta.get("mor_keys")
+            if prior_keys is not None and list(prior_keys) != list(keys):
+                raise ValueError(
+                    f"merge_on_read table {name} was merged on keys {prior_keys}, got {keys}"
+                )
+            mor_b = matched_b - over_b
+            rewrite_b = over_b
         src = source.select(*cols)
         merged = None
         if rewrite_b:
@@ -702,6 +741,26 @@ class Catalog:
             src_rw = src.where(bexpr.isin([int(b) for b in rewrite_b]))
             kept = target.join(src_rw.select(*keys).distinct(), keys, "left_anti")
             merged = kept.unionByName(src_rw)
+        if mor_b:
+            # update part = the source rows themselves; the NET row delta per
+            # bucket (inserted source rows minus superseded target rows)
+            # keeps the pointer's footer counts exact — both sides of the
+            # subtraction are delta-/pruned-scan-sized jobs
+            src_mor = src.where(bexpr.isin([int(b) for b in mor_b])).localCheckpoint(eager=True)
+            tgt_mor = self.read(name, buckets=sorted(mor_b))
+            added = {
+                str(r["b"]): r["cnt"]
+                for r in src_mor.groupBy(bexpr.alias("b")).agg(F.count("*").alias("cnt")).collect()
+            }
+            superseded = {
+                str(r["b"]): r["cnt"]
+                for r in tgt_mor.join(src_mor.select(*keys).distinct(), keys, "left_semi")
+                .groupBy(bexpr.alias("b"))
+                .agg(F.count("*").alias("cnt"))
+                .collect()
+            }
+            ins_counts = {b: added.get(b, 0) - superseded.get(b, 0) for b in added}
+            merged = src_mor if merged is None else merged.unionByName(src_mor)
         if append_b:
             # no key in these buckets matches ⇒ nothing to delete: fast-append
             appends = src.where(bexpr.isin([int(b) for b in append_b]))
@@ -713,7 +772,10 @@ class Catalog:
                 "appended_buckets": 0, "rewritten_fraction": 0.0,
             }
             return
-        self._commit_buckets(name, merged, bucket_col, base=meta, touched=rewrite_b, append_b=append_b)
+        self._commit_buckets(
+            name, merged, bucket_col, base=meta, touched=rewrite_b, append_b=append_b,
+            mor_b=mor_b, mor_insert_rows=ins_counts, mor_keys=keys if merge_on_read else None,
+        )
 
     def _commit_merged(
         self, name: str, merged: DataFrame, bucket_col: str | None, meta: dict | None, touched

@@ -58,6 +58,25 @@ _BUCKETS = [
     (201, 1000, 0.01),
 ]
 
+# "published" truth-cluster mix: the committed bucket table above yields
+# ~5.39M truth clusters per 10M rows (~1.85 rows/cluster), but the PUBLISHED
+# campaign reports 1.84M resolved clusters (~5.4 rows/cluster,
+# docs/performance/benchmark-results.md:33-38) — their campaign internals
+# linked more than the committed yaml. This mix shifts entity mass out of
+# singletons/pairs so the TRUTH component count lands at ~1.87M per 10M rows
+# (≈ the published resolved count); identifier share/inherit rates are then
+# calibrated (see generate_retail_spark mix="published") so resolved ≈ truth
+# and edge volume ≈ the published 16.1M.
+_BUCKETS_PUBLISHED = [
+    (1, 1, 0.04),
+    (2, 2, 0.10),
+    (3, 5, 0.24),
+    (6, 15, 0.32),
+    (16, 50, 0.20),
+    (51, 200, 0.08),
+    (201, 1000, 0.02),
+]
+
 # (source_id, cum_pct_threshold, has_loyalty, has_address) ≙ :86-92
 _SOURCES = [
     ("web", 35, True, True),
@@ -75,7 +94,7 @@ def _h(*cols) -> F.Column:
 
 
 def generate_retail_spark(
-    spark: SparkSession, n_rows: int, seed: int = 42, dense: bool = False
+    spark: SparkSession, n_rows: int, seed: int = 42, dense: bool = False, mix: str = "committed"
 ) -> DataFrame:
     """Flat customer-record table: one row per record, identifier columns
     shared within truth clusters per the reference distributions. Row count
@@ -92,24 +111,39 @@ def generate_retail_spark(
     ~1.35 star-edges/row — calibrated to the PUBLISHED edge volume so the LP
     stage carries a comparable graph.
 
+    ``mix="published"`` swaps in the `_BUCKETS_PUBLISHED` cluster-size table
+    AND its own identifier share/inherit rates, calibrated TOGETHER so BOTH
+    published axes land: resolved clusters ≈ 1.84M/10M rows (truth mix ≈
+    resolved because inheritance is near-total — members that inherit no
+    identifier split off as resolved singletons, so high per-type rates are
+    required once singleton mass shrinks) and edge volume ≈ the published
+    16.1M (non-anchor fraction rises from 0.46 to ~0.81, so per-type rates
+    must sit BELOW the dense variant's or edges overshoot ~2×).
+
     Columns: customer_record_id, source_system, email, phone, loyalty_id,
     address, updated_ts, truth_cluster_id."""
+    if mix not in ("committed", "published"):
+        raise ValueError(f"mix must be committed|published, got {mix}")
+    buckets = _BUCKETS_PUBLISHED if mix == "published" else _BUCKETS
     # exact per-bucket cluster counts from the entity-weighted expectation
-    counts = [max(1, round(n_rows * pct / ((lo + hi) / 2))) for lo, hi, pct in _BUCKETS]
+    counts = [max(1, round(n_rows * pct / ((lo + hi) / 2))) for lo, hi, pct in buckets]
     offsets = [0]
     for c in counts:
         offsets.append(offsets[-1] + c)
     clusters = spark.range(offsets[-1]).select(F.col("id").alias("cluster"))
 
     size = F.lit(1)
-    for (lo, hi, _), o0, o1 in zip(_BUCKETS, offsets[:-1], offsets[1:]):
+    for (lo, hi, _), o0, o1 in zip(buckets, offsets[:-1], offsets[1:]):
         width = hi - lo + 1
         expr = (F.lit(lo) + (_h(seed, "sz", F.col("cluster")) % width)).cast("int")
         cond = (F.col("cluster") >= o0) & (F.col("cluster") < o1)
         size = F.when(cond, expr).otherwise(size)
 
     c = F.col("cluster")
-    se, sp, sl, sa = (95, 90, 85, 80) if dense else (55, 25, 10, 10)
+    if mix == "published":
+        se, sp, sl, sa = (80, 65, 55, 50)
+    else:
+        se, sp, sl, sa = (95, 90, 85, 80) if dense else (55, 25, 10, 10)
     cl = clusters.select(
         "cluster",
         size.alias("size"),
@@ -155,7 +189,10 @@ def generate_retail_spark(
         )
 
     # (anchor-copy, chain-copy) inheritance pcts ≙ data_generator.py:366-381
-    (p_em, q_em), (p_ph, q_ph) = ((95, 95), (90, 90)) if dense else ((70, 50), (50, 50))
+    if mix == "published":
+        (p_em, q_em), (p_ph, q_ph) = (85, 85), (75, 75)
+    else:
+        (p_em, q_em), (p_ph, q_ph) = ((95, 95), (90, 90)) if dense else ((70, 50), (50, 50))
     m = m.select(
         "*",
         _base("share_email", p_em, q_em, "em").alias("_b_email"),

@@ -420,3 +420,53 @@ def test_incr_identifier_metric_from_pointer(spark, tmp_path):
     store_total = pipe.catalog.read("identifiers_current").count()
     assert res.identifiers_extracted == store_total == 4
     assert "identifiers_current" in calls  # metric came through the pointer
+
+
+def test_delete_insert_merge_on_read_matches_copy_on_write(spark, tmp_path):
+    """delete_insert MoR ≡ CoW at every step, including a key with MULTIPLE
+    prior rows (DELETE drops them all; the update part's anti-join does the
+    same at read time) and pointer row counts tracking the NET delta."""
+    cat = Catalog(spark, str(tmp_path / "wh"), n_buckets=4, max_parts_per_bucket=8)
+    base = [(f"k{i}", i) for i in range(24)] + [("dup", 100), ("dup", 101)]
+    for t in ("mor", "cow"):
+        cat.overwrite(t, _mk(spark, base), bucket_col="k")
+    steps = [
+        [("k1", -1), ("k2", -2), ("x1", 1)],       # scattered matches + insert
+        [("dup", 7)],                               # 2 prior rows -> 1 (net -1)
+        [(f"k{i}", -i) for i in range(0, 24, 3)],   # wide matched set
+        [("y1", 9), ("k1", -11)],
+    ]
+    for rows_ in steps:
+        src = _mk(spark, rows_)
+        cat.delete_insert("mor", src, keys=["k"], bucket_col="k", merge_on_read=True)
+        cat.delete_insert("cow", src, keys=["k"], bucket_col="k")
+        got_m = sorted((r["k"], r["v"]) for r in cat.read("mor").collect())
+        got_c = sorted((r["k"], r["v"]) for r in cat.read("cow").collect())
+        assert got_m == got_c
+        assert cat.row_count("mor") == cat.row_count("cow") == len(got_m)
+    # the MoR variant never rewrote a non-compaction bucket
+    assert cat.last_commit_stats["mor"]["touched_buckets"] == 0
+    assert cat.last_commit_stats["mor"].get("upd_buckets", 0) >= 1
+
+
+def test_update_part_order_is_pointer_authoritative(spark, tmp_path):
+    """Newest-wins reconciliation orders update parts by the pointer's
+    upd_order (monotonic commit order), NOT by version dir name — two commits
+    inside one millisecond would tie on the name's ms prefix and order by
+    random uuid hex."""
+    cat = Catalog(spark, str(tmp_path / "wh"), n_buckets=1)
+    cat.overwrite("t", _mk(spark, [("a", 0), ("b", 1)]), bucket_col="k")
+    cat.merge_upsert("t", _mk(spark, [("a", 10)]), keys=["k"], bucket_col="k", merge_on_read=True)
+    cat.merge_upsert("t", _mk(spark, [("a", 20)]), keys=["k"], bucket_col="k", merge_on_read=True)
+    ptr_path = os.path.join(cat._tdir("t"), "_CURRENT")
+    meta = json.load(open(ptr_path))
+    upd_versions = meta["upd"]["0"]
+    assert meta["upd_order"] == upd_versions  # commit order recorded
+    assert {r["k"]: r["v"] for r in cat.read("t").collect()}["a"] == 20
+
+    # flip the recorded order: the read must follow the POINTER, proving the
+    # name sort is not the authority
+    meta["upd_order"] = list(reversed(meta["upd_order"]))
+    with open(ptr_path, "w") as f:
+        json.dump(meta, f)
+    assert {r["k"]: r["v"] for r in cat.read("t").collect()}["a"] == 10

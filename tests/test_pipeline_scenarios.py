@@ -502,3 +502,131 @@ def test_serial_flush_same_outputs(spark, tmp_path):
     # the observability appends still land when flushed serially
     for t in ("rule_match_audit_current", "identifier_quality", "partition_lineage"):
         assert pipe1.catalog.read(t).count() >= 1
+
+
+def _published_state(pipe):
+    """Membership + clusters + golden, timestamps stripped (wall-clock)."""
+    cat = pipe.catalog
+    m = memberships(pipe)
+    cl = sorted(
+        tuple(v for c, v in zip(df.columns, r) if not c.endswith(("_ts", "_at")))
+        for df in [cat.read("identity_clusters_current")]
+        for r in df.collect()
+    )
+    gl = sorted(
+        tuple(v for c, v in zip(df.columns, r) if not c.endswith(("_ts", "_at")))
+        for df in [cat.read("golden_profile_current")]
+        for r in df.collect()
+    )
+    return m, cl, gl
+
+
+def test_membership_store_merge_on_read_parity(spark, tmp_path):
+    """INCR membership/clusters/golden via merge-on-read delete+insert must
+    publish the identical state to copy-on-write — and the chained batch's
+    membership commit must stop rewriting every bucket (the round-4
+    rewritten_fraction-1.0 finding)."""
+    t1, t2, t3 = datetime(2026, 1, 1), datetime(2026, 2, 1), datetime(2026, 3, 1)
+    base = [("A", "a@x.com", "111", t1), ("B", "b@x.com", "222", t1)]
+    # chained: C links to A's cluster (email) — relabels existing members
+    batch2 = base + [("C", "a@x.com", "333", t2)]
+    batch3 = batch2 + [("D", "b@x.com", "444", t3)]
+
+    def run_variant(sub, mor):
+        (tmp_path / sub).mkdir()
+        cfg = make_cfg(tmp_path / sub, rows(base), store_merge_on_read=mor)
+        pipe = IDRPipeline(spark, cfg)
+        pipe.run("FULL")
+        last = None
+        for batch in (batch2, batch3):
+            write_parquet(pd.DataFrame(rows(batch)), str(tmp_path / sub / "crm.parquet"))
+            last = pipe.run("INCR")
+        return pipe, last
+
+    pipe_m, res_m = run_variant("mor", True)
+    pipe_c, _ = run_variant("cow", False)
+    assert _published_state(pipe_m) == _published_state(pipe_c)
+    sc = res_m.store_commits["identity_resolved_membership_current"]
+    assert sc["rewritten_fraction"] == 0.0 and sc.get("upd_buckets", 0) >= 1
+
+
+def test_crash_before_membership_commit_recovers(spark, tmp_path):
+    """The flush commits T_MEMBERSHIP LAST. A crash in that window leaves
+    clusters/golden published but membership (and the watermark) unpublished —
+    the retry must re-qualify the pairs via _graph_changing_pairs and publish
+    the full no-crash state."""
+    t1, t2 = datetime(2026, 1, 1), datetime(2026, 2, 1)
+    base = [("A", "a@x.com", "111", t1), ("B", "b@x.com", "222", t1)]
+    batch2 = base + [("C", "a@x.com", "333", t2)]  # merges into A's cluster
+
+    # control: same batches, no crash
+    (tmp_path / "ctl").mkdir()
+    cfg_c = make_cfg(tmp_path / "ctl", rows(base))
+    pipe_c = IDRPipeline(spark, cfg_c)
+    pipe_c.run("FULL")
+    write_parquet(pd.DataFrame(rows(batch2)), str(tmp_path / "ctl" / "crm.parquet"))
+    pipe_c.run("INCR")
+
+    (tmp_path / "crash").mkdir()
+    cfg = make_cfg(tmp_path / "crash", rows(base))
+    pipe = IDRPipeline(spark, cfg)
+    pipe.run("FULL")
+    write_parquet(pd.DataFrame(rows(batch2)), str(tmp_path / "crash" / "crm.parquet"))
+
+    cat = pipe.catalog
+    order: list[str] = []
+    real_di, real_ow = cat.delete_insert, cat.overwrite
+    state = {"arm": True}
+
+    def di(name, *a, **kw):
+        order.append(name)
+        if state["arm"] and name == "identity_resolved_membership_current":
+            raise RuntimeError("simulated crash before membership commit")
+        return real_di(name, *a, **kw)
+
+    def ow(name, *a, **kw):
+        order.append(name)
+        return real_ow(name, *a, **kw)
+
+    cat.delete_insert, cat.overwrite = di, ow
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        pipe.run("INCR")
+    # ordering guarantee: every other store committed BEFORE the membership
+    # attempt (clusters + golden published, membership not)
+    assert order[-1] == "identity_resolved_membership_current"
+    assert "identity_clusters_current" in order[:-1]
+    assert not any(
+        r["entity_key"] == "crm:C"
+        for r in cat.read("identity_resolved_membership_current").collect()
+    )
+
+    state["arm"] = False
+    pipe.run("INCR")  # retry: watermark never advanced, delta reprocessed
+    assert _published_state(pipe) == _published_state(pipe_c)
+
+
+def test_match_signature_change_falls_back_safe(spark, tmp_path):
+    """The first INCR after the MATCH semantics change must take the safe
+    subgraph edge restriction (warning recorded); a subsequent INCR under the
+    now-recorded signature goes back to the fast form silently."""
+    t1, t2, t3 = datetime(2026, 1, 1), datetime(2026, 2, 1), datetime(2026, 3, 1)
+    base = [("A", "a@x.com", "111", t1), ("B", "a@x.com", "222", t1)]
+    email_only = [Rule("R_EMAIL_EXACT", "EMAIL", "Email", priority=1, canonicalize="LOWERCASE")]
+    cfg = make_cfg(tmp_path, rows(base), rules=email_only)
+    pipe = IDRPipeline(spark, cfg)
+    pipe.run("FULL")
+
+    both = email_only + [Rule("R_PHONE_EXACT", "PHONE", "Phone", priority=2)]
+    batch2 = base + [("C", "c@x.com", "222", t2)]
+    write_parquet(pd.DataFrame(rows(batch2)), str(tmp_path / "crm.parquet"))
+    cfg2 = make_cfg(tmp_path, rows(batch2), rules=both)
+    pipe2 = IDRPipeline(spark, cfg2)
+    res = pipe2.run("INCR")
+    assert any("match semantics changed" in w for w in res.warnings)
+
+    batch3 = batch2 + [("D", "d@x.com", "999", t3)]
+    write_parquet(pd.DataFrame(rows(batch3)), str(tmp_path / "crm.parquet"))
+    res2 = pipe2.run("INCR")
+    assert not any("match semantics changed" in w for w in res2.warnings)
+    m = memberships(pipe2)
+    assert m["crm:A"] == m["crm:B"]  # email link intact
