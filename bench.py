@@ -135,6 +135,7 @@ def run_bench(n_conversations: int | None = None) -> dict:
             "edges": res.edges_created,
             "lp_iterations": res.lp_iterations,
             "cc_path": res.cc_path,
+            "cc_rounds": res.cc_rounds,
             "stage_seconds": res.stage_seconds,
         }
         timings["idr_full_pipeline"] = idr_sec
@@ -337,6 +338,8 @@ def run_retail(n_rows: int, dense: bool = False, mix: str = "committed") -> None
                     "edges": res.edges_created,
                     "clusters": n_clusters,
                     "lp_iterations": res.lp_iterations,
+                    "cc_path": res.cc_path,
+                    "cc_rounds": res.cc_rounds,
                     "stage_seconds": res.stage_seconds,
                     "cpus": int(CPUS),
                 }
@@ -417,6 +420,7 @@ def scaling_worker(turns_path: str, cpus: int) -> None:
                 "edges": res.edges_created,
                 "lp_iterations": res.lp_iterations,
                 "cc_path": res.cc_path,
+                "cc_rounds": res.cc_rounds,
                 "stage_seconds": res.stage_seconds,
             }
         )

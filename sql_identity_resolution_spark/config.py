@@ -172,6 +172,11 @@ class EngineConfig:
     # AND still escalates, bounded at ~2 star-rounds of extra cost, so the
     # threshold sits high; tune per workload.
     cc_star_threshold_edges: int = 100_000_000
+    # frontier (vertex-activation) hash-min: only labels that changed last
+    # round propagate — per-round shuffle cost O(frontier-incident edges)
+    # instead of O(E); exactly equivalent labels (monotone-min argument in
+    # operators/graph.py). False = the dense reference-literal form (A/B).
+    cc_frontier: bool = True
     # Small-graph fast path: when the graph to cluster fits under this many
     # edges (a bounded, Arrow-batched collect — ~40 MB of keys at the
     # default, union-find ~1.4 s), run union-find on the driver instead of

@@ -31,7 +31,8 @@ is the reference's check-every-iteration behavior.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import time
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -47,6 +48,9 @@ class CCResult:
     # bounded driver union-find fast path: "hash_min" | "star" |
     # "hash_min+star" (probe escalated) | "local_union_find"
     path: str = "distributed"
+    # per materialized round: {"sec": wall, "delta": labels changed} — the
+    # scaling decomposition the bench publishes (empty for non-loop paths)
+    rounds: list = field(default_factory=list)
 
 
 def impacted_nodes(edges_new: DataFrame) -> DataFrame:
@@ -151,6 +155,16 @@ def _undirected(edges: DataFrame) -> DataFrame:
     )
 
 
+    # node count at or below which the string→long id mapping broadcasts into
+    # the edge translation joins (~30 B/row ⇒ ≤120 MB at the cap): the two
+    # per-endpoint joins then run map-side, removing TWO full edge-list
+    # exchanges from CC setup — at 400k convs those exchanges were a bigger
+    # non-scaling term than the LP rounds themselves (cc_rounds decomposition,
+    # campaigns_r5/pair1). Above the cap (the 10^9-node regime) the joins
+    # fall back to shuffles, which is the only shape that works there.
+_CC_BROADCAST_MAX_NODES = 4_000_000
+
+
 def _with_long_ids(algo_fn, nodes: DataFrame, edges: DataFrame, **kw) -> CCResult:
     """Run a CC loop on dense LONG node ids, then restore string semantics.
 
@@ -163,14 +177,21 @@ def _with_long_ids(algo_fn, nodes: DataFrame, edges: DataFrame, **kw) -> CCResul
     remapped to the MIN STRING key within the component — one groupBy + two
     joins ONCE, preserving the reference's resolved_id = MIN(entity_key)
     contract (sql/common/40:2) exactly.
+
+    The translation joins broadcast the mapping when the node count is small
+    enough (`_CC_BROADCAST_MAX_NODES`) — the count is a free in-memory action
+    on the just-checkpointed frame, the same size-adaptive gate AQE applies.
     """
     mapping = (
         nodes.select("entity_key")
         .withColumn("nid", F.monotonically_increasing_id())
         .localCheckpoint(eager=True)
     )
+    n_nodes = mapping.count()  # in-memory scan of the checkpointed frame
     lmap = mapping.withColumnRenamed("entity_key", "left_entity_key").withColumnRenamed("nid", "lid")
     rmap = mapping.withColumnRenamed("entity_key", "right_entity_key").withColumnRenamed("nid", "rid")
+    if n_nodes <= _CC_BROADCAST_MAX_NODES:
+        lmap, rmap = F.broadcast(lmap), F.broadcast(rmap)
     ledges = (
         edges.select("left_entity_key", "right_entity_key")
         .join(lmap, "left_entity_key")
@@ -179,41 +200,95 @@ def _with_long_ids(algo_fn, nodes: DataFrame, edges: DataFrame, **kw) -> CCResul
     )
     lnodes = mapping.select("nid")
     res = algo_fn(lnodes, ledges, **kw)  # labels: (nid, lid)
-    with_keys = res.labels.join(mapping, "nid").select("entity_key", "lid")
+    with_keys = res.labels.join(
+        F.broadcast(mapping) if n_nodes <= _CC_BROADCAST_MAX_NODES else mapping, "nid"
+    ).select("entity_key", "lid")
     reps = with_keys.groupBy("lid").agg(F.min("entity_key").alias("label"))
     labels = with_keys.join(reps.hint("shuffle_hash"), "lid").select("entity_key", "label")
-    return CCResult(labels=labels, iterations=res.iterations, converged=res.converged, path=res.path)
+    return CCResult(labels=labels, iterations=res.iterations, converged=res.converged,
+                    path=res.path, rounds=res.rounds)
 
 
-def _hash_min_lp_long(nodes: DataFrame, edges: DataFrame, max_iters: int, checkpoint_every: int) -> CCResult:
-    """Min-label propagation on long ids; see hash_min_lp for the contract."""
+def _hash_min_lp_long(
+    nodes: DataFrame, edges: DataFrame, max_iters: int, checkpoint_every: int,
+    frontier: bool = True,
+) -> CCResult:
+    """Min-label propagation on long ids; see hash_min_lp for the contract.
+
+    ``frontier=True`` (default) is the vertex-activation form (what Pregel/
+    GraphX LP does): only labels that CHANGED last round are offered to
+    neighbors. Exactly equivalent to the dense form — labels under hash-min
+    are monotonically non-increasing, so a node whose label did not change in
+    round i-1 offers the same value it already offered in round i-2; its
+    neighbors have it folded in, and re-offering is a no-op. Per-round work
+    drops from shuffling O(E) neighbor-label rows to O(edges incident to the
+    frontier): round 1 pays the full cost, later rounds shrink geometrically
+    with the delta — at 10^12 edges the tail rounds of the dense form are
+    each a full-graph shuffle for a handful of label moves. Plan shape per
+    round: the und⋈frontier probe reuses und's dst-partitioning (und is
+    checkpointed pre-partitioned; the frontier build side is delta-sized),
+    the candidate groupBy shuffles only frontier-incident rows, and the
+    labels⟕cands merge is co-partitioned on nid (both sides hash(nid) with
+    the same partition count) — ONE delta-sized exchange per round, zero
+    O(V)/O(E) exchanges after round 1.
+
+    ``frontier=False`` keeps the dense self∪neighbors groupBy form (the
+    reference's literal per-round statement) for A/B."""
     from pyspark.sql import Observation
 
     # parallel edges are common (the same pair matches under several rules /
     # identifier types — exact sig keys AND a passing LSH score); topology is
     # all CC needs, so dedup ONCE on the 16-byte long pair before the loop —
-    # every round's neighbor join and groupBy shrinks by the multiplicity
-    dedup = edges.select("left_nid", "right_nid").distinct()
-    und = dedup.select(F.col("left_nid").alias("src"), F.col("right_nid").alias("dst")).union(
-        dedup.select(F.col("right_nid").alias("src"), F.col("left_nid").alias("dst"))
-    ).repartition("dst").localCheckpoint(eager=True)
-    labels = nodes.select("nid", F.col("nid").alias("lid")).localCheckpoint(eager=True)
+    # every round's neighbor join and groupBy shrinks by the multiplicity.
+    # Order matters for the exchange count: double FIRST, repartition on the
+    # loop's join key, THEN dedup — HashPartitioning(dst) satisfies the
+    # dedup's ClusteredDistribution(src, dst) (equal pairs share a dst), so
+    # the aggregate reuses the repartition exchange and the whole und build
+    # is ONE shuffle instead of two (distinct-then-repartition exchanged the
+    # edge list twice; plan-asserted in tests).
+    und = (
+        edges.select(F.col("left_nid").alias("src"), F.col("right_nid").alias("dst"))
+        .union(edges.select(F.col("right_nid").alias("src"), F.col("left_nid").alias("dst")))
+        .repartition("dst")
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("nid", F.col("nid").alias("lid"))
+    if frontier:
+        # nid-partitioned so every round's labels⟕cands merge is exchange-free
+        labels = labels.repartition("nid")
+    labels = labels.localCheckpoint(eager=True)
+    front = labels  # round 1: every node is active (offers its own label)
     iterations = 0
     converged = False
+    rounds: list[dict] = []
     step = max(1, checkpoint_every)
     for i in range(max_iters):
+        t_round = time.time()
         iterations = i + 1
-        neighbor_labels = (
-            und.join(labels.withColumnRenamed("nid", "dst").hint("shuffle_hash"), "dst", "inner")
-            .select(F.col("src").alias("nid"), F.col("lid").alias("cand"),
-                    F.lit(None).cast("long").alias("cur"))
-        )
-        self_labels = labels.select("nid", F.col("lid").alias("cand"), F.col("lid").alias("cur"))
-        merged = (
-            self_labels.unionByName(neighbor_labels)
-            .groupBy("nid")
-            .agg(F.min("cand").alias("lid"), F.max("cur").alias("cur"))
-        )
+        if frontier:
+            cands = (
+                und.join(front.withColumnRenamed("nid", "dst").hint("shuffle_hash"), "dst", "inner")
+                .groupBy(F.col("src").alias("nid"))
+                .agg(F.min("lid").alias("cand"))
+            )
+            merged = labels.join(cands.hint("shuffle_hash"), "nid", "left").select(
+                "nid",
+                F.least(F.col("lid"), F.coalesce(F.col("cand"), F.col("lid"))).alias("lid"),
+                F.col("lid").alias("cur"),
+            )
+        else:
+            neighbor_labels = (
+                und.join(labels.withColumnRenamed("nid", "dst").hint("shuffle_hash"), "dst", "inner")
+                .select(F.col("src").alias("nid"), F.col("lid").alias("cand"),
+                        F.lit(None).cast("long").alias("cur"))
+            )
+            self_labels = labels.select("nid", F.col("lid").alias("cand"), F.col("lid").alias("cur"))
+            merged = (
+                self_labels.unionByName(neighbor_labels)
+                .groupBy("nid")
+                .agg(F.min("cand").alias("lid"), F.max("cur").alias("cur"))
+            )
         if (i + 1) % step and i != max_iters - 1:
             # fused round: LAZY localCheckpoint — no job yet (the next
             # checkpoint action materializes the whole fused chain as one
@@ -225,24 +300,33 @@ def _hash_min_lp_long(nodes: DataFrame, edges: DataFrame, max_iters: int, checkp
             # k=3 for the star variant — measured, round 4). Freed when the
             # frame goes unreferenced (ContextCleaner), like any local
             # checkpoint.
-            labels = merged.select("nid", "lid").localCheckpoint(eager=False)
+            fused = merged.localCheckpoint(eager=False)
+            labels = fused.select("nid", "lid")
+            if frontier:
+                front = fused.where(F.col("lid") < F.col("cur")).select("nid", "lid")
             continue
         obs = Observation(f"lp_{i}")
         nxt = merged.observe(
             obs, F.sum(F.when(F.col("lid") != F.col("cur"), 1).otherwise(0)).alias("delta")
-        ).select("nid", "lid")
+        ).select("nid", "lid", (F.col("lid") < F.col("cur")).alias("_chg"))
         # the checkpoint IS the action that fills the observation
         nxt = nxt.localCheckpoint(eager=True)
         delta = obs.get["delta"]
-        labels = nxt
+        labels = nxt.select("nid", "lid")
+        if frontier:
+            # in-memory narrow filter over the checkpointed frame — no job
+            front = nxt.where("_chg").select("nid", "lid")
+        rounds.append({"sec": round(time.time() - t_round, 3), "delta": int(delta or 0)})
         if not delta:
             converged = True
             break
-    return CCResult(labels=labels, iterations=iterations, converged=converged, path="hash_min")
+    return CCResult(labels=labels, iterations=iterations, converged=converged,
+                    path="hash_min", rounds=rounds)
 
 
 def hash_min_lp(
-    nodes: DataFrame, edges: DataFrame, max_iters: int = 30, checkpoint_every: int = 1
+    nodes: DataFrame, edges: DataFrame, max_iters: int = 30, checkpoint_every: int = 1,
+    frontier: bool = True,
 ) -> CCResult:
     """Min-label propagation to convergence (sql/common/31; idr_run.py:440-481).
 
@@ -263,7 +347,8 @@ def hash_min_lp(
       has it) instead of re-joining cur×next.
     """
     return _with_long_ids(
-        _hash_min_lp_long, nodes, edges, max_iters=max_iters, checkpoint_every=checkpoint_every
+        _hash_min_lp_long, nodes, edges, max_iters=max_iters, checkpoint_every=checkpoint_every,
+        frontier=frontier,
     )
 
 
@@ -430,6 +515,7 @@ def connected_components(
     star_threshold: int = 100_000_000,
     hash_min_budget: int = 8,
     local_max_edges: int = 0,
+    frontier: bool = True,
 ) -> CCResult:
     """``auto`` (the production default) is a hybrid: graphs shaped like the
     reference's anchor-star output converge under hash-min in ~6 rounds
@@ -461,7 +547,8 @@ def connected_components(
             algorithm = "star"
         else:
             probe = hash_min_lp(
-                nodes, edges, max_iters=min(hash_min_budget, max_iters), checkpoint_every=checkpoint_every
+                nodes, edges, max_iters=min(hash_min_budget, max_iters),
+                checkpoint_every=checkpoint_every, frontier=frontier,
             )
             if probe.converged:
                 return probe
@@ -507,4 +594,4 @@ def connected_components(
             )
     if algorithm == "star":
         return alternating_star(nodes, edges, max_iters=max(max_iters, 50), checkpoint_every=checkpoint_every)
-    return hash_min_lp(nodes, edges, max_iters=max_iters, checkpoint_every=checkpoint_every)
+    return hash_min_lp(nodes, edges, max_iters=max_iters, checkpoint_every=checkpoint_every, frontier=frontier)

@@ -120,6 +120,8 @@ class RunResult:
     # "hash_min" / "star" / "hash_min+star" / "local_union_find" — lets a
     # bench reader tell a distributed-LP timing from the driver fast path
     cc_path: str = ""
+    # per-round {"sec", "delta"} decomposition of the distributed CC loop
+    cc_rounds: list = field(default_factory=list)
     duration_seconds: float = 0.0
     stage_seconds: dict = field(default_factory=dict)
     # bucketed-table commit stats of this run ({table: {n_buckets,
@@ -729,12 +731,15 @@ class IDRPipeline:
         with stage("label_propagation") as s:
             membership_current = cat.read(T_MEMBERSHIP, schema_str(_MEMBERSHIP_SCHEMA, spark))
             if mode == "FULL":
-                # full rerun: every node, every edge (sql/common/90_full_rerun.sql)
-                nodes = (
-                    edges_current.select(F.col("left_entity_key").alias("entity_key"))
-                    .union(edges_current.select(F.col("right_entity_key").alias("entity_key")))
-                    .distinct()
-                )
+                # full rerun: every node, every edge (sql/common/90_full_rerun.sql).
+                # The node universe is the CHECKPOINTED entity frame (one row
+                # per entity by construction), not DISTINCT over the doubled
+                # edge endpoints — endpoints ⊆ entities, and the extra
+                # isolated entities label as themselves, which is exactly
+                # what the singleton fallback would assign them (its
+                # anti-join just goes empty); final membership is identical
+                # while CC setup drops a full edge-scan exchange.
+                nodes = entities_delta.select("entity_key")
                 sub_edges = edges_current
             else:
                 # impacted = endpoints of truly-NEW pairs only (re-derived
@@ -780,10 +785,12 @@ class IDRPipeline:
                 # the corpus itself is tiny (corpus-scale graphs always
                 # exceed the cap and run distributed).
                 local_max_edges=cfg.cc_local_max_edges,
+                frontier=cfg.cc_frontier,
             )
             res.lp_iterations = cc.iterations
             res.lp_converged = cc.converged
             res.cc_path = cc.path
+            res.cc_rounds = cc.rounds
             if not cc.converged:
                 # HARD FAIL (≙ IDR_Run.py:493-494): no membership/cluster/golden
                 # MERGE may run on non-converged labels. Record the failed run

@@ -141,7 +141,7 @@ def generate_retail_spark(
 
     c = F.col("cluster")
     if mix == "published":
-        se, sp, sl, sa = (80, 65, 55, 50)
+        se, sp, sl, sa = (85, 55, 72, 42)
     else:
         se, sp, sl, sa = (95, 90, 85, 80) if dense else (55, 25, 10, 10)
     cl = clusters.select(
@@ -190,7 +190,7 @@ def generate_retail_spark(
 
     # (anchor-copy, chain-copy) inheritance pcts ≙ data_generator.py:366-381
     if mix == "published":
-        (p_em, q_em), (p_ph, q_ph) = (85, 85), (75, 75)
+        (p_em, q_em), (p_ph, q_ph) = (88, 88), (75, 75)
     else:
         (p_em, q_em), (p_ph, q_ph) = ((95, 95), (90, 90)) if dense else ((70, 50), (50, 50))
     m = m.select(

@@ -200,3 +200,34 @@ def test_local_union_find_cap_falls_back_to_distributed(spark):
     assert res.iterations > 1  # distributed rounds ran, not the 1-shot local path
     got = {(r["entity_key"], r["label"]) for r in res.labels.collect()}
     assert got == {(f"e{i:03d}", "e000") for i in range(12)}
+
+
+# ------------------------------------------------------------- frontier LP
+
+
+def test_frontier_matches_dense_hash_min(spark):
+    """Frontier (vertex-activation) hash-min must produce IDENTICAL labels to
+    the dense reference-literal form on an adversarial mix (long chain + star
+    + singletons), at k=1 and with fused rounds."""
+    import random
+
+    from sql_identity_resolution_spark.operators.graph import hash_min_lp
+
+    rng = random.Random(7)
+    rows = [(f"c{i:03d}", f"c{i+1:03d}") for i in range(14)]           # chain
+    rows += [("hub", f"s{i:02d}") for i in range(20)]                  # star
+    rows += [(f"a{rng.randrange(30):02d}", f"a{rng.randrange(30):02d}") for _ in range(40)]
+    rows = [(a, b) for a, b in rows if a != b]
+    keys = sorted({k for r in rows for k in r} | {"iso1", "iso2"})
+    nodes = spark.createDataFrame([(k,) for k in keys], "entity_key string")
+    edges = spark.createDataFrame(rows, "left_entity_key string, right_entity_key string")
+    for k in (1, 3):
+        dense = hash_min_lp(nodes, edges, max_iters=40, checkpoint_every=k, frontier=False)
+        front = hash_min_lp(nodes, edges, max_iters=40, checkpoint_every=k, frontier=True)
+        assert dense.converged and front.converged
+        got_d = {(r["entity_key"], r["label"]) for r in dense.labels.collect()}
+        got_f = {(r["entity_key"], r["label"]) for r in front.labels.collect()}
+        assert got_f == got_d
+    # per-round decomposition is recorded and the delta hits 0 at convergence
+    assert front.rounds and front.rounds[-1]["delta"] == 0
+    assert all(set(r) == {"sec", "delta"} for r in front.rounds)

@@ -27,7 +27,16 @@ def main() -> None:
     from sql_identity_resolution_spark.sources.datagen_spark import generate_transcripts_spark
     from sql_identity_resolution_spark.sources.transcripts import transcripts_source
 
-    spark = build_session(app_name="idr-f1", master="local[16]")
+    # ≥2 reduce tasks per core once the corpus leaves toy scale (same sizing
+    # rule as bench.py's econ/retail sections); F1 math itself is fully
+    # distributed (pair counts derived arithmetically from group sizes —
+    # plans/evaluate.pairwise_f1), so NO sampling is needed at 100k+.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    spark = build_session(
+        app_name="idr-f1",
+        master=f"local[{cpus}]",
+        shuffle_partitions=(max(64, cpus * 2) if n >= 50_000 else None),
+    )
     with tempfile.TemporaryDirectory(prefix="idr_f1_") as tmp:
         turns_path = os.path.join(tmp, "turns")
         gen = generate_transcripts_spark(spark, n_conversations=n, seed=seed)
