@@ -235,7 +235,16 @@ class EngineConfig:
     # an extra entity-side pass, id restores, and ~2x the GC. Turn it on when
     # the entity side is too big to broadcast AND entity keys are long
     # strings (the 10^9-entity shuffle-join regime it was built for).
-    score_dense: bool = False
+    # ROUND-5 UPDATE — default is now ADAPTIVE (None): under a real
+    # multi-process master (local-cluster / yarn / k8s / standalone), where
+    # shuffle blocks are genuinely serialized between JVMs, the dense path
+    # WON the interleaved A/B (best 163.5 s vs classic 182.1 s at
+    # 400k conversations on local-cluster[8,4]; edge stage 60.7 vs 77.7 s,
+    # identical edges — campaigns_r5/lc_dense_ab.json), while thread-mode
+    # local[N] (shared heap, shuffles are page-cache memcpys) still favors
+    # classic (round-4 A/B). None = dense iff the session master is not
+    # thread-local; True/False force it.
+    score_dense: bool | None = None
     # broadcast the tokenized entity-text side of the pair-scoring join when
     # the text store holds at most this many entities — the token arrays are
     # the pipeline's biggest shuffle byte source; broadcasting keeps the pair

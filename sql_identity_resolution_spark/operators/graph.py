@@ -181,7 +181,26 @@ def _with_long_ids(algo_fn, nodes: DataFrame, edges: DataFrame, **kw) -> CCResul
     The translation joins broadcast the mapping when the node count is small
     enough (`_CC_BROADCAST_MAX_NODES`) — the count is a free in-memory action
     on the just-checkpointed frame, the same size-adaptive gate AQE applies.
+
+    AQE is DISABLED for the duration of the loop (restored on exit): under
+    AQE every exchange materializes as its own job, so each CC round pays
+    2-3 scheduler barriers instead of 1 — profiling at 400k/local[16]
+    (campaigns_r5/profile_400k_16.json) showed the LP stage spending 32
+    scheduler stages on 664 MB of total shuffle (~0.4 s of parallel work per
+    stage): the floor is stage-launch count, not bytes. The loop's joins are
+    explicitly hinted (SHUFFLE_HASH / broadcast) and its partitioning is
+    pre-arranged, so AQE's re-planning adds nothing here.
     """
+    spark = nodes.sparkSession
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _with_long_ids_inner(algo_fn, nodes, edges, **kw)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def _with_long_ids_inner(algo_fn, nodes: DataFrame, edges: DataFrame, **kw) -> CCResult:
     mapping = (
         nodes.select("entity_key")
         .withColumn("nid", F.monotonically_increasing_id())

@@ -501,7 +501,14 @@ class IDRPipeline:
                 else:
                     n_texts = (cat.row_count(T_ENTITY_TEXTS) or 0) + res.entities_processed
                 broadcast_texts = n_texts <= cfg.score_broadcast_max_entities
-                use_dense = cfg.score_dense and not cfg.score_grouped and set(scorer_names) <= {"token_jaccard"}
+                # score_dense=None → regime-adaptive: dense on real
+                # multi-JVM masters (serialized shuffle — the A/B winner
+                # there), classic on thread-local masters (shared heap)
+                score_dense = cfg.score_dense
+                if score_dense is None:
+                    m = spark.sparkContext.master or ""
+                    score_dense = not m.startswith("local[")
+                use_dense = score_dense and not cfg.score_grouped and set(scorer_names) <= {"token_jaccard"}
                 dup_scored = None
                 # INCR: only delta-impacted block members ever get scored, so
                 # tokenize/broadcast just THEIR texts (semi-join) — the

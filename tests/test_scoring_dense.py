@@ -1,6 +1,8 @@
 """Parity: dense long-id scoring ≡ classic string scoring (score_dense flag).
 
-The dense path (`EngineConfig.score_dense`, default off — a measured
+The dense path (`EngineConfig.score_dense`, default None = regime-adaptive:
+on for multi-JVM masters where it won the serialized-shuffle A/B, off for
+thread-local masters — a measured
 negative at 400k conversations once the classic path's text joins broadcast;
 kept as the 10^9-entity shuffle-join regime's escape hatch) must be a pure
 execution-strategy swap: same deduped pair set, bit-identical scores (shared
