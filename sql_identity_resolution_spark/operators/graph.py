@@ -282,6 +282,16 @@ def _hash_min_lp_long(
     converged = False
     rounds: list[dict] = []
     step = max(1, checkpoint_every)
+    # layered tail rounds (frontier, unfused): once the frontier is small,
+    # checkpoint ONLY the changed labels and keep the full label table as
+    # base ⟕ overlay layers (all co-partitioned on nid — pure in-memory
+    # coalesce scans, no exchange). The O(V) label rewrite per round was the
+    # measured tail-round floor at 10M nodes (~4 s/round for a 2-row delta,
+    # retail_10m_dense_final.json cc_rounds); a delta-sized write is ~free.
+    # Layers cap at 3 (each round scans base + layers), then compact.
+    layers: list[DataFrame] = []
+    first_delta: int | None = None
+    prev_delta: int | None = None
     for i in range(max_iters):
         t_round = time.time()
         iterations = i + 1
@@ -325,17 +335,47 @@ def _hash_min_lp_long(
                 front = fused.where(F.col("lid") < F.col("cur")).select("nid", "lid")
             continue
         obs = Observation(f"lp_{i}")
-        nxt = merged.observe(
-            obs, F.sum(F.when(F.col("lid") != F.col("cur"), 1).otherwise(0)).alias("delta")
-        ).select("nid", "lid", (F.col("lid") < F.col("cur")).alias("_chg"))
-        # the checkpoint IS the action that fills the observation
-        nxt = nxt.localCheckpoint(eager=True)
-        delta = obs.get["delta"]
-        labels = nxt.select("nid", "lid")
-        if frontier:
-            # in-memory narrow filter over the checkpointed frame — no job
-            front = nxt.where("_chg").select("nid", "lid")
+        delta_agg = F.sum(F.when(F.col("lid") != F.col("cur"), 1).otherwise(0)).alias("delta")
+        layered = (
+            frontier
+            and step == 1
+            and len(layers) < 3
+            and first_delta is not None
+            and prev_delta is not None
+            and prev_delta <= max(1, first_delta // 4)
+        )
+        if layered:
+            # write only the CHANGED labels; the full table stays the lazy
+            # base⟕layers overlay (later layers win via sequential coalesce)
+            changed = (
+                merged.observe(obs, delta_agg)
+                .where(F.col("lid") < F.col("cur"))
+                .select("nid", "lid")
+                .localCheckpoint(eager=True)
+            )
+            delta = obs.get["delta"]
+            front = changed
+            if delta:
+                layers.append(changed)
+                labels = labels.join(
+                    changed.select("nid", F.col("lid").alias("_u")), "nid", "left"
+                ).select("nid", F.coalesce("_u", "lid").alias("lid"))
+        else:
+            nxt = merged.observe(obs, delta_agg).select(
+                "nid", "lid", (F.col("lid") < F.col("cur")).alias("_chg")
+            )
+            # the checkpoint IS the action that fills the observation
+            nxt = nxt.localCheckpoint(eager=True)
+            delta = obs.get["delta"]
+            labels = nxt.select("nid", "lid")
+            layers = []
+            if frontier:
+                # in-memory narrow filter over the checkpointed frame — no job
+                front = nxt.where("_chg").select("nid", "lid")
         rounds.append({"sec": round(time.time() - t_round, 3), "delta": int(delta or 0)})
+        if first_delta is None:
+            first_delta = int(delta or 0)
+        prev_delta = int(delta or 0)
         if not delta:
             converged = True
             break
