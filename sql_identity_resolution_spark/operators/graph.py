@@ -182,16 +182,23 @@ def _with_long_ids(algo_fn, nodes: DataFrame, edges: DataFrame, **kw) -> CCResul
     enough (`_CC_BROADCAST_MAX_NODES`) — the count is a free in-memory action
     on the just-checkpointed frame, the same size-adaptive gate AQE applies.
 
-    AQE is DISABLED for the duration of the loop (restored on exit): under
-    AQE every exchange materializes as its own job, so each CC round pays
-    2-3 scheduler barriers instead of 1 — profiling at 400k/local[16]
+    AQE is DISABLED for the duration of the loop for the HASH-MIN variant
+    only (``disable_aqe``, restored on exit): under AQE every exchange
+    materializes as its own job, so each CC round pays 2-3 scheduler
+    barriers instead of 1 — profiling at 400k/local[16]
     (campaigns_r5/profile_400k_16.json) showed the LP stage spending 32
     scheduler stages on 664 MB of total shuffle (~0.4 s of parallel work per
-    stage): the floor is stage-launch count, not bytes. The loop's joins are
-    explicitly hinted (SHUFFLE_HASH / broadcast) and its partitioning is
-    pre-arranged, so AQE's re-planning adds nothing here.
+    stage): the floor is stage-launch count, not bytes, and hash-min's joins
+    are explicitly hinted with pre-arranged partitioning so AQE re-planning
+    adds nothing (pair4: LP 21.1 → 13.4 s at local[16]). The STAR loop is
+    the opposite regime — ~8 un-hinted shuffles per round whose tiny
+    intermediates AQE coalesces down to a handful of tasks; forcing AQE off
+    there measured 3× SLOWER on the sf0.1 diameter-hundreds graph (16.3 s
+    vs 5.8 s best-of-3 for the testdata CC query), so star keeps AQE on.
     """
     spark = nodes.sparkSession
+    if not kw.pop("disable_aqe", False):
+        return _with_long_ids_inner(algo_fn, nodes, edges, **kw)
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
@@ -407,7 +414,7 @@ def hash_min_lp(
     """
     return _with_long_ids(
         _hash_min_lp_long, nodes, edges, max_iters=max_iters, checkpoint_every=checkpoint_every,
-        frontier=frontier,
+        frontier=frontier, disable_aqe=True,
     )
 
 
