@@ -565,9 +565,15 @@ def _local_union_find(nodes: DataFrame, edges: DataFrame, max_edges: int) -> CCR
     keys = set(n["entity_key"])
     keys.update(left_keys)
     keys.update(right_keys)
-    labels = [(k, find(k)) for k in sorted(keys)]
+    ordered = sorted(keys)
+    import pandas as pd
+
+    # Arrow-path createDataFrame (a pandas frame, not a row list): the row
+    # list pickles every tuple through the JVM one by one — measured ~1 s+ at
+    # 10^5 labels, pure driver serialization; the Arrow batch is ~free
+    pdf = pd.DataFrame({"entity_key": ordered, "label": [find(k) for k in ordered]})
     spark = nodes.sparkSession
-    df = spark.createDataFrame(labels, "entity_key string, label string")
+    df = spark.createDataFrame(pdf, "entity_key string, label string")
     return CCResult(labels=df, iterations=1, converged=True, path="local_union_find")
 
 

@@ -277,16 +277,14 @@ class IDRPipeline:
     # ------------------------------------------------------------------- run
     def _last_match_signature(self) -> str | None:
         """match_signature of the last committed run (None if never recorded).
-        One tiny single-row-table read per INCR run — metadata scale."""
-        if not self.catalog.exists(T_CONFIG_STATE):
+        Driver-side pointer read — zero Spark jobs (the table is one row)."""
+        rows = self.catalog.read_rows(T_CONFIG_STATE)
+        if not rows:
             return None
-        row = (
-            self.catalog.read(T_CONFIG_STATE)
-            .where(F.col("k") == F.lit("match_signature"))
-            .select("v")
-            .first()
-        )
-        return row["v"] if row else None
+        for r in rows:
+            if r.get("k") == "match_signature":
+                return r.get("v")
+        return None
 
     def run(self, mode: str = "FULL", dry_run: bool = False, run_id: str | None = None) -> RunResult:
         spark, cfg, cat = self.spark, self.cfg, self.catalog
@@ -299,6 +297,7 @@ class IDRPipeline:
         t0 = time.time()
         stage_rows: list[tuple] = []
         self._pending_stores: list[tuple] = []
+        self._pending_appends: list[tuple] = []
         self._ids_count_from_pointer = False
         self._texts_unique = False
 
@@ -322,9 +321,13 @@ class IDRPipeline:
 
         res.warnings.extend(self.preflight())
 
-        # -------- watermarks (S2/S9)
-        run_state = cat.read(T_RUN_STATE, schema_str(_RUN_STATE_SCHEMA, spark))
-        last_wm = {r["table_id"]: r["last_watermark_value"] for r in run_state.collect()}
+        # -------- watermarks (S2/S9) — driver-side pointer read, zero jobs
+        # (run_state is one row per source; the Spark read+collect it replaces
+        # was a fixed scheduler round-trip at the head of every run)
+        last_wm = {
+            r["table_id"]: r["last_watermark_value"]
+            for r in (cat.read_rows(T_RUN_STATE) or [])
+        }
 
         # load each source exactly once (derived sources are expensive);
         # INCR loads only the delta slice — the stores supply the rest
@@ -336,7 +339,21 @@ class IDRPipeline:
         # -------- entities delta (stage 10)
         with stage("entity_extraction") as s:
             entities_delta = extract.build_entities_delta(spark, cfg, run_id, mode, last_wm, loaded)
-            entities_delta, res.entities_processed = _ckpt_count(entities_delta, "entities")
+            # ONE checkpoint job carries the row count AND the per-source max
+            # watermark (the run_state advance) via a single Observation — the
+            # separate end-of-run groupBy(table_id).max() job is gone
+            from pyspark.sql import Observation
+
+            active_ids = [st.table_id for st in cfg.sources if st.is_active]
+            obs = Observation(f"entities_{uuid.uuid4().hex[:8]}")
+            aggs = [F.count(F.lit(1)).alias("n")] + [
+                F.max(F.when(F.col("table_id") == tid, F.col("watermark_value"))).alias(f"wm_{i}")
+                for i, tid in enumerate(active_ids)
+            ]
+            entities_delta = entities_delta.observe(obs, *aggs).localCheckpoint(eager=True)
+            vals = obs.get
+            res.entities_processed = int(vals["n"])
+            wm_by_table = {tid: vals[f"wm_{i}"] for i, tid in enumerate(active_ids)}
             s.rows(res.entities_processed)
 
         # -------- identifiers (stage 11) + exclusions + identifier store
@@ -458,7 +475,9 @@ class IDRPipeline:
                     .select(*skipped_cols)
                     .localCheckpoint(eager=True)
                 )
-            cat.append(T_SKIPPED, skipped)
+            # checkpointed — the physical append joins the output_write flush
+            # pool instead of paying a serial write job on the hot edge stage
+            self._pending_appends.append((T_SKIPPED, skipped))
 
             edges_exact = blocking.anchor_edges(valid, members, run_ts, salt_buckets=cfg.salt_buckets)
 
@@ -507,7 +526,10 @@ class IDRPipeline:
                 score_dense = cfg.score_dense
                 if score_dense is None:
                     m = spark.sparkContext.master or ""
-                    score_dense = not m.startswith("local[")
+                    # thread-local masters: "local", "local[N]", "local[*]",
+                    # "local[N,maxFailures]" — anything else (local-cluster,
+                    # yarn, k8s, standalone) is multi-JVM and prefers dense
+                    score_dense = not (m == "local" or m.startswith("local["))
                 use_dense = score_dense and not cfg.score_grouped and set(scorer_names) <= {"token_jaccard"}
                 dup_scored = None
                 # INCR: only delta-impacted block members ever get scored, so
@@ -813,6 +835,9 @@ class IDRPipeline:
                     f"label propagation did not converge in {cc.iterations} iterations"
                 )
                 res.duration_seconds = round(time.time() - t0, 3)
+                for n_, d_ in self._pending_appends:  # audit rows still land
+                    cat.append(n_, d_)
+                self._pending_appends = []
                 self._record_history(res, run_ts, stage_rows)
                 raise ConvergenceError(
                     f"run {run_id}: label propagation did not converge within "
@@ -994,6 +1019,24 @@ class IDRPipeline:
             # same pool instead of running serially ahead of it. setJobGroup
             # is thread-local, so each worker re-tags its own thread for UI
             # attribution.
+            # COMMIT-ORDER BARRIER (publish-phase only): T_MEMBERSHIP's
+            # POINTER publishes LAST, strictly after every other store/append
+            # publish succeeded. The INCR retry's recluster scope is gated on
+            # membership co-clustering (_graph_changing_pairs): if a crash
+            # left membership PUBLISHED but clusters/golden UNpublished, the
+            # retry would see the pairs already co-clustered, find an empty
+            # impacted set, and never recompute the downstream tables —
+            # permanently stale. With the membership pointer last, any crash
+            # window that leaves a downstream table unpublished also leaves
+            # membership unpublished, so the retry re-qualifies the pairs and
+            # re-derives everything (idempotent delete+insert). Unlike the
+            # round-5 barrier (which serialized membership's whole commit
+            # after the pool), only the atomic pointer swap is ordered: the
+            # membership WRITE work overlaps the rest of the pool
+            # (defer_publish — sources/catalog.py), restoring flush overlap
+            # while keeping the exact same crash-window guarantee.
+            deferred_publish: list = []
+
             def _flush(entry):
                 spark.sparkContext.setJobGroup(
                     "output_write", f"idr store flush {entry[1]}", False
@@ -1003,35 +1046,26 @@ class IDRPipeline:
                     cat.append(st_name, st_df)
                 else:
                     _, st_name, st_op, st_df, st_keys, st_bucket = entry
+                    defer = st_name == T_MEMBERSHIP
                     if st_op == "overwrite":
-                        cat.overwrite(st_name, st_df, bucket_col=st_bucket)
+                        pub = cat.overwrite(st_name, st_df, bucket_col=st_bucket, defer_publish=defer)
                     else:
-                        cat.delete_insert(
+                        pub = cat.delete_insert(
                             st_name, st_df, keys=st_keys, bucket_col=st_bucket,
-                            merge_on_read=cfg.store_merge_on_read,
+                            merge_on_read=cfg.store_merge_on_read, defer_publish=defer,
                         )
+                    if pub is not None:
+                        deferred_publish.append(pub)
 
-            # COMMIT-ORDER BARRIER: T_MEMBERSHIP publishes LAST, after every
-            # other store/append in the pool completes. The INCR retry's
-            # recluster scope is gated on membership co-clustering
-            # (_graph_changing_pairs): if a crash left membership PUBLISHED
-            # but clusters/golden UNpublished, the retry would see the pairs
-            # already co-clustered, find an empty impacted set, and never
-            # recompute the downstream tables — permanently stale. With
-            # membership last, any crash window that leaves a downstream
-            # table unpublished also leaves membership unpublished, so the
-            # retry re-qualifies the pairs and re-derives everything
-            # (idempotent delete+insert). Costs nothing at steady state: the
-            # membership commit is one of the largest writes and would end
-            # the pool anyway.
-            flush_tasks = [
-                ("append", T_AUDIT, audit),
-                ("append", T_IDENTIFIER_QUALITY, quality),
-                ("append", T_LINEAGE, lineage),
-            ] + [("store", *entry) for entry in self._pending_stores]
-            is_membership = lambda t: t[0] == "store" and t[1] == T_MEMBERSHIP
-            last_tasks = [t for t in flush_tasks if is_membership(t)]
-            flush_tasks = [t for t in flush_tasks if not is_membership(t)]
+            flush_tasks = (
+                [
+                    ("append", T_AUDIT, audit),
+                    ("append", T_IDENTIFIER_QUALITY, quality),
+                    ("append", T_LINEAGE, lineage),
+                ]
+                + [("append", n_, d_) for n_, d_ in self._pending_appends]
+                + [("store", *entry) for entry in self._pending_stores]
+            )
             n_flush = max(1, int(cfg.flush_max_workers))
             if len(flush_tasks) > 1 and n_flush > 1:
                 from concurrent.futures import ThreadPoolExecutor
@@ -1041,9 +1075,13 @@ class IDRPipeline:
             else:
                 for entry in flush_tasks:
                     _flush(entry)
-            for entry in last_tasks:
-                _flush(entry)
+            # every other table's pointer is live; now (and only now) swap
+            # the membership pointer — a failure anywhere above skips this,
+            # which is exactly the crash window the retry logic handles
+            for pub in deferred_publish:
+                pub()
             self._pending_stores = []
+            self._pending_appends = []
             if self._ids_count_from_pointer and not dry_run:
                 # INCR metric backfill: exact post-merge store total from the
                 # just-committed pointer (per-bucket footer counts) — replaces
@@ -1056,40 +1094,42 @@ class IDRPipeline:
             # partition counts) — INCR health is "fraction ≪ 1".
             res.store_commits = dict(cat.last_commit_stats)
             if res.store_commits and not dry_run:
-                cat.append(
+                # driver-held scalars → driver-side parquet append (zero jobs)
+                cat.append_rows(
                     "store_commit_metrics",
-                    spark.createDataFrame(
-                        [
-                            (run_id, t, s_["n_buckets"], s_["touched_buckets"],
-                             s_["rewritten_fraction"], run_ts)
-                            for t, s_ in res.store_commits.items()
-                        ],
-                        "run_id string, table_name string, n_buckets int, touched_buckets int, "
-                        "rewritten_fraction double, run_ts timestamp",
-                    ),
+                    [
+                        (run_id, t, s_["n_buckets"], s_["touched_buckets"],
+                         s_["rewritten_fraction"], run_ts)
+                        for t, s_ in res.store_commits.items()
+                    ],
+                    "run_id string, table_name string, n_buckets int, touched_buckets int, "
+                    "rewritten_fraction double, run_ts timestamp",
                 )
 
             if not dry_run:
-                wm_updates = (
-                    entities_delta.groupBy("table_id")
-                    .agg(F.max("watermark_value").alias("last_watermark_value"))
-                    .select(
-                        "table_id",
-                        "last_watermark_value",
-                        F.lit(run_id).alias("last_run_id"),
-                        F.lit(run_ts).cast("timestamp").alias("last_run_ts"),
+                # run_state / engine_config_state are one-row-per-source
+                # state tables whose content the driver already holds (the
+                # watermark maxes rode the entity checkpoint's Observation):
+                # driver-side MERGE, zero Spark jobs — was 2 serial Spark
+                # merge jobs closing every run
+                wm_rows = [
+                    (tid, wm, run_id, run_ts)
+                    for tid, wm in wm_by_table.items()
+                    if wm is not None
+                ]
+                if wm_rows:
+                    cat.merge_upsert_rows(
+                        T_RUN_STATE, wm_rows, keys=["table_id"],
+                        schema=_RUN_STATE_SCHEMA,
                     )
-                )
-                cat.merge_upsert(T_RUN_STATE, wm_updates, keys=["table_id"])
                 # record the match semantics this committed state was built
                 # under — the next INCR compares and falls back to the safe
                 # subgraph restriction if they differ
-                cat.merge_upsert(
+                cat.merge_upsert_rows(
                     T_CONFIG_STATE,
-                    spark.createDataFrame(
-                        [("match_signature", run_sig, run_id)], "k string, v string, last_run_id string"
-                    ),
+                    [("match_signature", run_sig, run_id)],
                     keys=["k"],
+                    schema="k string, v string, last_run_id string",
                 )
             s.rows(0)
 
@@ -1130,30 +1170,35 @@ class IDRPipeline:
             "DRY_RUN_COMPLETE" if dry_run else ("SUCCESS_WITH_WARNINGS" if res.warnings else "SUCCESS")
         )
         self._record_history(res, run_ts, stage_rows)
+        exported_at = datetime.now(timezone.utc).replace(tzinfo=None)
         metrics = [
-            (run_id, "idr_run_duration_seconds", float(res.duration_seconds), "gauge"),
-            (run_id, "idr_entities_processed", float(res.entities_processed), "gauge"),
-            (run_id, "idr_edges_created", float(res.edges_created), "counter"),
-            (run_id, "idr_clusters_impacted", float(res.clusters_impacted), "gauge"),
-            (run_id, "idr_lp_iterations", float(res.lp_iterations), "gauge"),
-            (run_id, "idr_groups_skipped", float(res.groups_skipped), "counter"),
+            (run_id, "idr_run_duration_seconds", float(res.duration_seconds), "gauge", exported_at),
+            (run_id, "idr_entities_processed", float(res.entities_processed), "gauge", exported_at),
+            (run_id, "idr_edges_created", float(res.edges_created), "counter", exported_at),
+            (run_id, "idr_clusters_impacted", float(res.clusters_impacted), "gauge", exported_at),
+            (run_id, "idr_lp_iterations", float(res.lp_iterations), "gauge", exported_at),
+            (run_id, "idr_groups_skipped", float(res.groups_skipped), "counter", exported_at),
         ]
-        cat.append(
+        cat.append_rows(
             T_METRICS,
-            spark.createDataFrame(
-                metrics, "run_id string, metric_name string, metric_value double, metric_type string"
-            ).withColumn("exported_at", F.current_timestamp()),
+            metrics,
+            "run_id string, metric_name string, metric_value double, metric_type string, "
+            "exported_at timestamp",
         )
         return res
 
     def _record_history(self, res: RunResult, run_ts, stage_rows: list[tuple]) -> None:
         """Append run_history + stage_metrics (shared by the success finalize
-        and the non-convergence failure path)."""
-        history = self.spark.createDataFrame(
+        and the non-convergence failure path). Both are a handful of rows the
+        driver already holds — append_rows writes them with zero Spark jobs
+        (one serial write job each, ~1 s/run of pure scheduler floor before)."""
+        self.catalog.append_rows(
+            T_RUN_HISTORY,
             [(
-                res.run_id, res.mode, bool(res.dry_run), res.status, run_ts, res.duration_seconds,
-                res.entities_processed, res.edges_created, res.clusters_impacted,
-                res.lp_iterations, res.groups_skipped, res.values_excluded,
+                res.run_id, res.mode, bool(res.dry_run), res.status, run_ts,
+                float(res.duration_seconds),
+                int(res.entities_processed), int(res.edges_created), int(res.clusters_impacted),
+                int(res.lp_iterations), int(res.groups_skipped), int(res.values_excluded),
                 json.dumps(res.warnings) if res.warnings else None,
             )],
             "run_id string, run_mode string, dry_run boolean, status string, started_at timestamp, "
@@ -1161,13 +1206,11 @@ class IDRPipeline:
             "clusters_impacted bigint, lp_iterations int, groups_skipped bigint, "
             "values_excluded bigint, warnings string",
         )
-        self.catalog.append(T_RUN_HISTORY, history)
         if stage_rows:
-            self.catalog.append(
+            self.catalog.append_rows(
                 T_STAGE_METRICS,
-                self.spark.createDataFrame(
-                    stage_rows, "run_id string, stage string, rows bigint, seconds double, run_ts timestamp"
-                ),
+                [(r[0], r[1], int(r[2]), float(r[3]), r[4]) for r in stage_rows],
+                "run_id string, stage string, rows bigint, seconds double, run_ts timestamp",
             )
 
 

@@ -68,6 +68,7 @@ import os
 import shutil
 import time
 import uuid
+from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -107,6 +108,10 @@ class Catalog:
         # insert-only merges append part files to a bucket instead of
         # rewriting it; at this many parts the bucket compacts on next touch
         self.max_parts_per_bucket = max_parts_per_bucket
+        # merge-on-read planning: when a delta's keys hash into at least this
+        # fraction of a table's buckets, the matched-bucket probe (a key scan
+        # of every touched bucket) is skipped — see _plan_bucketed_merge
+        self.mor_probe_max_fraction = 0.5
         # per-table override for NEW tables: big fact tables (membership, edges)
         # want many buckets; tiny dimension stores want few (fewer files + fewer
         # rewritten slices per delta). Existing tables always keep the modulus
@@ -156,11 +161,17 @@ class Catalog:
         Bucketed tables maintain per-bucket counts at every commit (rewritten
         buckets are re-counted from parquet footers, untouched buckets keep
         their recorded counts — ≙ Iceberg snapshot summary `total-records`);
-        append tables sum per-part counts. Returns None for a missing table
-        or a legacy pointer written before counts were recorded (callers fall
-        back to a scan)."""
+        append tables sum per-part counts. Returns None for a missing table,
+        a legacy pointer written before counts were recorded, or a table with
+        lazily-counted merge-on-read update parts (``unrec`` buckets — see
+        delete_insert: their recorded counts are gross, exactness is restored
+        at that bucket's next compaction/rewrite). Callers fall back."""
         meta = self._pointer(name)
         if meta is None:
+            return None
+        if meta.get("unrec"):
+            # delete_insert MoR buckets whose superseded-row count was
+            # deliberately NOT scanned at commit time (O(delta) commit path)
             return None
         if meta.get("bucket_rows") is not None:
             # counts are only trustworthy when every live bucket has one (a
@@ -306,20 +317,26 @@ class Catalog:
         return out
 
     # ------------------------------------------------------------------ write
-    def _commit(self, name: str, df: DataFrame) -> None:
+    def _commit(self, name: str, df: DataFrame, defer_publish: bool = False):
         tdir = self._tdir(name)
         os.makedirs(tdir, exist_ok=True)
         version = f"v{int(time.time() * 1000):016d}_{uuid.uuid4().hex[:6]}"
         out = os.path.join(tdir, version)
         df.write.mode("overwrite").parquet(out)
-        tmp = os.path.join(tdir, f".ptr_{uuid.uuid4().hex[:8]}")
-        with open(tmp, "w") as f:
-            json.dump(
-                {"version": version, "rows": _parquet_rows(out),
-                 "schema": df.schema.jsonValue(), "committed_at": time.time()}, f
-            )
-        os.replace(tmp, self._pointer_path(name))  # atomic publish
-        self._vacuum(name, keep=version)
+        ptr = {"version": version, "rows": _parquet_rows(out),
+               "schema": df.schema.jsonValue(), "committed_at": time.time()}
+
+        def _publish():
+            tmp = os.path.join(tdir, f".ptr_{uuid.uuid4().hex[:8]}")
+            with open(tmp, "w") as f:
+                json.dump(ptr, f)
+            os.replace(tmp, self._pointer_path(name))  # atomic publish
+            self._vacuum(name, keep=version)
+
+        if defer_publish:
+            return _publish
+        _publish()
+        return None
 
     def _vacuum(self, name: str, keep: str) -> None:
         tdir = self._tdir(name)
@@ -345,7 +362,8 @@ class Catalog:
         mor_b: set[int] | None = None,
         mor_insert_rows: dict[str, int] | None = None,
         mor_keys: list[str] | None = None,
-    ) -> None:
+        defer_publish: bool = False,
+    ):
         """Write ``df`` partitioned by bucket into ONE new version dir.
         ``df`` carries the FULL post-merge content of every bucket in
         ``touched`` (rewritten: pointer maps them to just this version) plus
@@ -355,9 +373,20 @@ class Catalog:
         ``mor_b`` (merge-on-read update part: appended like fast-append but
         flagged in the pointer so reads reconcile it against the base parts;
         ``mor_insert_rows`` carries how many of its rows are genuinely new —
-        matched rows supersede rather than add, keeping bucket_rows exact).
+        matched rows supersede rather than add, keeping bucket_rows exact.
+        ``mor_insert_rows=None`` with a non-empty ``mor_b`` = LAZY counting:
+        the update part's own footer count is recorded as-is and the bucket
+        is marked ``unrec`` — superseded target rows are deliberately NOT
+        scanned at commit time, so the commit stays O(delta); exactness is
+        restored when the bucket next rewrites/compacts).
         Untouched buckets keep their prior versions (shared, never rewritten).
-        A rewritten bucket with no surviving rows is dropped from the map."""
+        A rewritten bucket with no surviving rows is dropped from the map.
+
+        ``defer_publish=True``: all write work runs now, but the atomic
+        pointer swap (+vacuum) is returned as a zero-argument closure instead
+        of executing — the caller orders publishes across tables (the
+        pipeline's membership-last crash barrier) without serializing the
+        writes themselves. Returns None when publishing inline."""
         n_buckets = self._table_buckets(name, base)
         tdir = self._tdir(name)
         os.makedirs(tdir, exist_ok=True)
@@ -382,6 +411,7 @@ class Catalog:
         written = {d.split("=", 1)[1] for d in os.listdir(out) if d.startswith("_bucket=")}
         bmap = dict((base or {}).get("buckets") or {})
         brows = dict((base or {}).get("bucket_rows") or {})
+        unrec = {str(b) for b in ((base or {}).get("unrec") or [])}
         umap = {k_: list(v) for k_, v in ((base or {}).get("upd") or {}).items()}
         # monotonic commit order of update-part versions: version DIR names
         # sort by millisecond + random hex, so two serialized commits inside
@@ -394,6 +424,7 @@ class Catalog:
             bmap.pop(str(b), None)
             brows.pop(str(b), None)
             umap.pop(str(b), None)
+            unrec.discard(str(b))
         for b in written:
             n_new = _parquet_rows(os.path.join(out, f"_bucket={b}"))
             if b in append_strs or b in mor_strs:
@@ -401,9 +432,14 @@ class Catalog:
                 if b in mor_strs and prior:
                     umap[b] = umap.get(b, []) + [version]
                     # matched rows supersede, only genuine inserts add (a
-                    # bucket absent from the insert counts had none)
+                    # bucket absent from the insert counts had none). With
+                    # lazy counting (mor_insert_rows=None) the gross part
+                    # count is recorded and the bucket marked unreconciled —
+                    # no target scan at commit time.
                     if mor_insert_rows is not None:
                         n_new = int(mor_insert_rows.get(b, 0))
+                    else:
+                        unrec.add(b)
                 bmap[b] = prior + [version] if prior else version
                 if b in brows:
                     brows[b] = int(brows[b]) + n_new
@@ -415,6 +451,7 @@ class Catalog:
                 bmap[b] = version
                 brows[b] = n_new
                 umap.pop(b, None)
+                unrec.discard(b)
         ptr = {
             "version": version,
             "buckets": bmap,
@@ -432,11 +469,9 @@ class Catalog:
             if mor_strs and version in live_upd:
                 uorder.append(version)
             ptr["upd_order"] = uorder
-        tmp = os.path.join(tdir, f".ptr_{uuid.uuid4().hex[:8]}")
-        with open(tmp, "w") as f:
-            json.dump(ptr, f)
-        os.replace(tmp, self._pointer_path(name))
-        self._vacuum(name, keep=version)
+        unrec &= set(bmap)
+        if unrec:
+            ptr["unrec"] = sorted(unrec)
         rewrote = len(touched) if touched is not None else len(written)
         self.last_commit_stats[name] = {
             "n_buckets": n_buckets,
@@ -447,11 +482,25 @@ class Catalog:
         if mor_b:
             self.last_commit_stats[name]["upd_buckets"] = len(mor_b)
 
-    def overwrite(self, name: str, df: DataFrame, bucket_col: str | None = None) -> None:
+        def _publish():
+            tmp = os.path.join(tdir, f".ptr_{uuid.uuid4().hex[:8]}")
+            with open(tmp, "w") as f:
+                json.dump(ptr, f)
+            os.replace(tmp, self._pointer_path(name))
+            self._vacuum(name, keep=version)
+
+        if defer_publish:
+            return _publish
+        _publish()
+        return None
+
+    def overwrite(
+        self, name: str, df: DataFrame, bucket_col: str | None = None,
+        defer_publish: bool = False,
+    ):
         if bucket_col is not None:
-            self._commit_buckets(name, df, bucket_col, base=None)
-        else:
-            self._commit(name, df)
+            return self._commit_buckets(name, df, bucket_col, base=None, defer_publish=defer_publish)
+        return self._commit(name, df, defer_publish=defer_publish)
 
     def append(self, name: str, df: DataFrame) -> None:
         """Append-only sinks (run_history, stage_metrics, audit, lineage —
@@ -480,6 +529,155 @@ class Catalog:
                  "schema": df.schema.jsonValue(), "committed_at": time.time()}, f
             )
         os.replace(tmp, self._pointer_path(name))
+
+    def read_rows(self, name: str) -> list[dict] | None:
+        """Driver-side read of a TINY table as a list of dicts — zero Spark
+        jobs (pyarrow over the pointer's part files; ≙ reading Iceberg
+        metadata instead of launching a scan job). None when absent. Use only
+        for metadata-scale tables (run_state, engine_config_state): the rows
+        are materialized on the driver. Timestamps are normalized to the
+        naive-UTC representation the engine uses throughout (session tz and
+        the driver clock are both UTC)."""
+        import pyarrow.parquet as pq
+
+        meta = self._pointer(name)
+        if meta is None:
+            return None
+        tdir = self._tdir(name)
+        if meta.get("buckets") is not None:
+            srcs = [
+                os.path.join(v, f"_bucket={b}")
+                for b, vs in meta["buckets"].items()
+                for v in self._bucket_versions(vs)
+            ]
+        else:
+            srcs = meta.get("parts") or [meta["version"]]
+        out: list[dict] = []
+        for part in srcs:
+            pdir = os.path.join(tdir, part)
+            for root, _, files in os.walk(pdir):
+                for fn in sorted(files):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    for row in pq.read_table(os.path.join(root, fn)).to_pylist():
+                        out.append({
+                            k: (v.replace(tzinfo=None)
+                                if isinstance(v, datetime) and v.tzinfo is not None else v)
+                            for k, v in row.items()
+                        })
+        return out
+
+    def merge_upsert_rows(
+        self, name: str, rows: list[tuple], keys: list[str], schema: T.StructType | str
+    ) -> None:
+        """Driver-side MERGE for TINY single-digit-row state tables
+        (run_state, engine_config_state): the upsert runs as a pyarrow
+        read-modify-write on the driver — zero Spark jobs — and publishes the
+        same snapshot-versioned pointer shape as ``merge_upsert`` (new
+        immutable version dir + atomic pointer swap), so readers and the
+        resume contract are unchanged. The Spark emulation spent ~0.3-0.5 s
+        of pure scheduler floor per state merge (x2 per run: watermark +
+        match-signature) on tables that never exceed one row per source."""
+        import pyarrow.parquet as pq
+
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        names = [f.name for f in schema.fields]
+        kidx = [names.index(k) for k in keys]
+        current: dict[tuple, tuple] = {}
+        meta = self._pointer(name)
+        if meta is not None:
+            stored = meta.get("schema")
+            if stored is not None:
+                names_stored = [f["name"] for f in stored["fields"]]
+                if names_stored != names:
+                    raise ValueError(
+                        f"merge_upsert_rows {name}: schema mismatch {names_stored} vs {names}"
+                    )
+            tdir = self._tdir(name)
+            srcs = meta.get("parts") or [meta["version"]]
+            for part in srcs:
+                pdir = os.path.join(tdir, part)
+                for root, _, files in os.walk(pdir):
+                    for fn in files:
+                        if not fn.endswith(".parquet"):
+                            continue
+                        t = pq.read_table(os.path.join(root, fn))
+                        for row in t.to_pylist():
+                            # normalize tz-aware timestamps back to the naive
+                            # UTC representation the writers use
+                            vals = tuple(
+                                v.replace(tzinfo=None)
+                                if isinstance(v, datetime) and v.tzinfo is not None
+                                else v
+                                for v in (row[c] for c in names)
+                            )
+                            current[tuple(vals[i] for i in kidx)] = vals
+        for row in rows:
+            current[tuple(row[i] for i in kidx)] = tuple(row)
+        self.append_rows(name, sorted(current.values(), key=lambda r: tuple(str(r[i]) for i in kidx)),
+                         schema, overwrite=True)
+
+    def append_rows(
+        self, name: str, rows: list[tuple], schema: T.StructType | str, overwrite: bool = False
+    ) -> None:
+        """Driver-side fast append for TINY observability frames (run_history,
+        stage_metrics, metrics_export, store-commit stats: a handful of rows
+        the driver already holds as Python values).
+
+        Writes the parquet part directly with pyarrow — zero Spark jobs — and
+        publishes the same pointer shape as :meth:`append`, so readers are
+        indistinguishable (the stored Spark schema is authoritative at read
+        time, exactly like every other commit). A run previously paid one
+        full Spark write job (~0.3 s of scheduler floor each) per one-row
+        observability append — 4+ jobs of pure fixed cost per pipeline run."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        _ARROW = {
+            "string": pa.string(),
+            "long": pa.int64(),
+            "integer": pa.int32(),
+            "double": pa.float64(),
+            "boolean": pa.bool_(),
+            # session timezone is UTC (session.py); naive datetimes here are
+            # UTC wall times by construction (run_ts), so annotate as UTC
+            # micros — Spark reads them back identically to its own writer
+            "timestamp": pa.timestamp("us", tz="UTC"),
+        }
+        arrow_schema = pa.schema(
+            [(f.name, _ARROW[f.dataType.typeName()]) for f in schema.fields]
+        )
+        cols = list(zip(*rows)) if rows else [[] for _ in schema.fields]
+        table = pa.Table.from_arrays(
+            [pa.array(list(c), type=t) for c, t in zip(cols, arrow_schema.types)],
+            schema=arrow_schema,
+        )
+        tdir = self._tdir(name)
+        os.makedirs(tdir, exist_ok=True)
+        meta = {} if overwrite else (self._pointer(name) or {})
+        parts = meta.get("parts") or ([meta["version"]] if meta.get("version") else [])
+        part_rows = meta.get("part_rows") if len(meta.get("part_rows") or []) == len(parts) else None
+        version = f"v{int(time.time() * 1000):016d}_{uuid.uuid4().hex[:6]}"
+        out = os.path.join(tdir, version)
+        os.makedirs(out)
+        pq.write_table(table, os.path.join(out, "part-00000.parquet"))
+        parts.append(version)
+        if part_rows is not None:
+            part_rows = [*part_rows, len(rows)]
+        elif len(parts) == 1:
+            part_rows = [len(rows)]
+        tmp = os.path.join(tdir, f".ptr_{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump(
+                {"version": version, "parts": parts, "part_rows": part_rows,
+                 "schema": schema.jsonValue(), "committed_at": time.time()}, f
+            )
+        os.replace(tmp, self._pointer_path(name))
+        if overwrite:
+            self._vacuum(name, keep=version)
 
     def _touched_buckets(self, source: DataFrame, bucket_col: str, n_buckets: int) -> set[int]:
         """Distinct buckets the source rows hash into — a ≤n_buckets-row
@@ -525,28 +723,61 @@ class Catalog:
             return self.read(name, buckets=sorted(touched)), meta, touched
         return self.read(name), meta, None
 
-    def _plan_bucketed_merge(self, name: str, source: DataFrame, keys: list[str], bucket_col: str | None):
+    def _plan_bucketed_merge(
+        self, name: str, source: DataFrame, keys: list[str], bucket_col: str | None,
+        merge_on_read: bool = False,
+    ):
         """Split a bucketed merge's touched buckets into REWRITE vs APPEND-only.
 
-        A touched bucket where no target key matches any source key is a pure
-        INSERT: its kept rows never leave disk and the commit fast-appends a
-        new part file (≙ Iceberg MERGE emitting only new data files for
-        match-free partitions). Detecting it costs one key-column semi-join
-        over the touched slice — O(touched-bucket keys), paid back many times
-        over by not rewriting the bucket's data. Buckets that already hold
+        Copy-on-write: a touched bucket where no target key matches any source
+        key is a pure INSERT — its kept rows never leave disk and the commit
+        fast-appends a new part file (≙ Iceberg MERGE emitting only new data
+        files for match-free partitions). Detecting it costs one key-column
+        semi-join over the touched slice — O(touched-bucket keys), paid back
+        many times over by not rewriting the bucket's data.
+
+        Merge-on-read (``merge_on_read=True``) with the delta touching MOST
+        buckets (≥ ``mor_probe_max_fraction`` of them): the matched-bucket
+        probe is SKIPPED — a MoR commit appends a delta-sized update part
+        either way, and an update part whose keys match nothing reconciles to
+        a no-op at read time (the anti-join drops nothing), so classifying
+        "matched" vs "pure insert" buys no write IO while costing what is
+        then a near-FULL-table key scan per commit (membership's chained-INCR
+        shape: 32/32 buckets touched — the last O(corpus) term on that path).
+        Every non-compaction touched bucket becomes an update-part append and
+        planning touches ONLY the delta + pointer metadata. When the delta
+        touches a minority of buckets the probe stays: it is bucket-pruned
+        (delta-proportional) and lets unmatched buckets commit as clean
+        fast-appends with exact counts. Buckets that already hold
         ``max_parts_per_bucket`` part files are folded into the rewrite set
         (inline compaction). Returns ``(meta, bexpr, rewrite_b, append_b,
-        cols, matched_b, over_b)`` — ``rewrite_b = matched_b ∪ over_b`` for
-        copy-on-write; a merge-on-read caller instead rewrites only
-        ``over_b`` and appends update parts for ``matched_b - over_b`` — or
-        None when the table isn't in bucketed layout (caller falls back to
-        the full-table merge)."""
+        cols, matched_b, over_b, probed)`` — ``rewrite_b = matched_b ∪
+        over_b`` for copy-on-write; a merge-on-read caller instead rewrites
+        only ``over_b`` and appends update parts for ``matched_b - over_b``;
+        ``probed`` says whether matched_b is exact (scanned) or the
+        conservative touched-minus-compaction superset — or None when the
+        table isn't in bucketed layout (caller falls back to the full-table
+        merge)."""
         meta = self._pointer(name)
         if bucket_col is None or not meta or meta.get("buckets") is None:
             return None
         n_buckets = self._table_buckets(name, meta)
         touched = self._touched_buckets(source, bucket_col, n_buckets)
         bexpr = self._bucket_expr(bucket_col, n_buckets)
+        bmap = meta["buckets"]
+        over = {
+            b
+            for b in touched
+            if len(self._bucket_versions(bmap.get(str(b)))) >= self.max_parts_per_bucket
+        }
+        if merge_on_read and len(touched) >= self.mor_probe_max_fraction * n_buckets:
+            # probe would be a near-full-table scan: skip it, treat every
+            # non-compaction touched bucket as an update-part append
+            cols = [f["name"] for f in (meta.get("schema") or {}).get("fields", [])]
+            if not cols:  # legacy pointer without a stored schema
+                cols = self.read(name).columns
+            matched_b = touched - over
+            return meta, bexpr, over, set(), cols, matched_b, over, False
         tgt_touched = self.read(name, buckets=sorted(touched))
         matched_b = {
             r["b"]
@@ -555,14 +786,8 @@ class Catalog:
             .distinct()
             .collect()
         }
-        bmap = meta["buckets"]
-        over = {
-            b
-            for b in touched
-            if len(self._bucket_versions(bmap.get(str(b)))) >= self.max_parts_per_bucket
-        }
         rewrite_b = matched_b | over
-        return meta, bexpr, rewrite_b, touched - rewrite_b, tgt_touched.columns, matched_b, over
+        return meta, bexpr, rewrite_b, touched - rewrite_b, tgt_touched.columns, matched_b, over, True
 
     def merge_upsert(
         self,
@@ -572,7 +797,8 @@ class Catalog:
         update_cols: list[str] | None = None,
         bucket_col: str | None = None,
         merge_on_read: bool = False,
-    ) -> None:
+        defer_publish: bool = False,
+    ):
         """``MERGE INTO target USING source ON keys WHEN MATCHED THEN UPDATE SET
         update_cols WHEN NOT MATCHED THEN INSERT *`` — the reference's sink
         pattern (sql/databricks/core/IDR_Run.py:452-463).
@@ -596,11 +822,11 @@ class Catalog:
         """
         if not self.exists(name):
             if bucket_col is not None:
-                self._commit_buckets(name, source, bucket_col, base=None)
-            else:
-                self._commit(name, source)
-            return
-        plan = self._plan_bucketed_merge(name, source, keys, bucket_col)
+                return self._commit_buckets(
+                    name, source, bucket_col, base=None, defer_publish=defer_publish
+                )
+            return self._commit(name, source, defer_publish=defer_publish)
+        plan = self._plan_bucketed_merge(name, source, keys, bucket_col, merge_on_read=merge_on_read)
         if plan is None:
             target, meta, touched = self._merge_target(name, source, bucket_col)
             cols = target.columns
@@ -614,9 +840,8 @@ class Catalog:
             )
             inserted = src.join(target.select(*keys).distinct(), keys, "left_anti")
             merged = kept.unionByName(matched).unionByName(inserted)
-            self._commit_merged(name, merged, bucket_col, meta, touched)
-            return
-        meta, bexpr, rewrite_b, append_b, cols, matched_b, over_b = plan
+            return self._commit_merged(name, merged, bucket_col, meta, touched, defer_publish)
+        meta, bexpr, rewrite_b, append_b, cols, matched_b, over_b, _probed = plan
         if update_cols is None:
             update_cols = [c for c in cols if c not in keys]
         mor_b: set[int] = set()
@@ -684,10 +909,11 @@ class Catalog:
                 "n_buckets": n_buckets, "touched_buckets": 0,
                 "appended_buckets": 0, "rewritten_fraction": 0.0,
             }
-            return
-        self._commit_buckets(
+            return None
+        return self._commit_buckets(
             name, merged, bucket_col, base=meta, touched=rewrite_b, append_b=append_b,
             mor_b=mor_b, mor_insert_rows=ins_counts, mor_keys=keys if merge_on_read else None,
+            defer_publish=defer_publish,
         )
 
     def delete_insert(
@@ -697,7 +923,8 @@ class Catalog:
         keys: list[str],
         bucket_col: str | None = None,
         merge_on_read: bool = False,
-    ) -> None:
+        defer_publish: bool = False,
+    ):
         """DELETE-matching-then-INSERT (reference clusters sink,
         sql/duckdb/core/idr_run.py:544-552). ``bucket_col``: see merge_upsert.
 
@@ -709,23 +936,34 @@ class Catalog:
         which is exactly DELETE-matching semantics even for keys with
         multiple prior rows. Write IO becomes O(delta) instead of O(touched
         buckets' content) — the term that capped chained-INCR latency when
-        the membership sink rewrote 32/32 buckets per micro-batch."""
+        the membership sink rewrote 32/32 buckets per micro-batch.
+
+        When the delta's keys hash into ~every bucket (the chained-INCR
+        membership shape) the commit runs ZERO target-table jobs: the
+        matched-bucket probe is skipped (see _plan_bucketed_merge) and no
+        superseded-row count scan runs — the pointer records the update
+        part's own (gross) row count and marks the bucket unreconciled
+        (``unrec``); ``row_count`` answers None until the bucket's next
+        compaction/rewrite restores an exact footer count. Planning cost is
+        then the delta-sized touched-bucket collect plus pointer metadata —
+        O(delta) end-to-end. When the delta touches a minority of buckets the
+        probe and the superseded count both run bucket-pruned (delta-
+        proportional) and pointer counts stay exact."""
         if not self.exists(name):
             if bucket_col is not None:
-                self._commit_buckets(name, source, bucket_col, base=None)
-            else:
-                self._commit(name, source)
-            return
-        plan = self._plan_bucketed_merge(name, source, keys, bucket_col)
+                return self._commit_buckets(
+                    name, source, bucket_col, base=None, defer_publish=defer_publish
+                )
+            return self._commit(name, source, defer_publish=defer_publish)
+        plan = self._plan_bucketed_merge(name, source, keys, bucket_col, merge_on_read=merge_on_read)
         if plan is None:
             target, meta, touched = self._merge_target(name, source, bucket_col)
             kept = target.join(source.select(*keys).distinct(), keys, "left_anti")
             merged = kept.unionByName(source.select(*target.columns))
-            self._commit_merged(name, merged, bucket_col, meta, touched)
-            return
-        meta, bexpr, rewrite_b, append_b, cols, matched_b, over_b = plan
+            return self._commit_merged(name, merged, bucket_col, meta, touched, defer_publish)
+        meta, bexpr, rewrite_b, append_b, cols, matched_b, over_b, probed = plan
         mor_b: set[int] = set()
-        ins_counts: dict[str, int] = {}
+        ins_counts: dict[str, int] | None = None
         if merge_on_read:
             prior_keys = meta.get("mor_keys")
             if prior_keys is not None and list(prior_keys) != list(keys):
@@ -742,24 +980,30 @@ class Catalog:
             kept = target.join(src_rw.select(*keys).distinct(), keys, "left_anti")
             merged = kept.unionByName(src_rw)
         if mor_b:
-            # update part = the source rows themselves; the NET row delta per
-            # bucket (inserted source rows minus superseded target rows)
-            # keeps the pointer's footer counts exact — both sides of the
-            # subtraction are delta-/pruned-scan-sized jobs
-            src_mor = src.where(bexpr.isin([int(b) for b in mor_b])).localCheckpoint(eager=True)
-            tgt_mor = self.read(name, buckets=sorted(mor_b))
-            added = {
-                str(r["b"]): r["cnt"]
-                for r in src_mor.groupBy(bexpr.alias("b")).agg(F.count("*").alias("cnt")).collect()
-            }
-            superseded = {
-                str(r["b"]): r["cnt"]
-                for r in tgt_mor.join(src_mor.select(*keys).distinct(), keys, "left_semi")
-                .groupBy(bexpr.alias("b"))
-                .agg(F.count("*").alias("cnt"))
-                .collect()
-            }
-            ins_counts = {b: added.get(b, 0) - superseded.get(b, 0) for b in added}
+            # update part = the source rows themselves (they ARE the
+            # post-merge content for their keys — no target join needed)
+            src_mor = src.where(bexpr.isin([int(b) for b in mor_b]))
+            if probed:
+                # probe ran (bucket-pruned, minority of buckets): keep exact
+                # pointer counts — NET delta per bucket = inserted source
+                # rows minus superseded target rows, both delta-/pruned-sized
+                src_mor = src_mor.localCheckpoint(eager=True)
+                added = {
+                    str(r["b"]): r["cnt"]
+                    for r in src_mor.groupBy(bexpr.alias("b")).agg(F.count("*").alias("cnt")).collect()
+                }
+                superseded = {
+                    str(r["b"]): r["cnt"]
+                    for r in self.read(name, buckets=sorted(mor_b))
+                    .join(src_mor.select(*keys).distinct(), keys, "left_semi")
+                    .groupBy(bexpr.alias("b"))
+                    .agg(F.count("*").alias("cnt"))
+                    .collect()
+                }
+                ins_counts = {b: added.get(b, 0) - superseded.get(b, 0) for b in added}
+            # probe skipped (delta touches ~every bucket): ZERO target jobs —
+            # ins_counts stays None and the commit records gross counts with
+            # the unrec marker (lazy; exactness restored at compaction)
             merged = src_mor if merged is None else merged.unionByName(src_mor)
         if append_b:
             # no key in these buckets matches ⇒ nothing to delete: fast-append
@@ -771,22 +1015,25 @@ class Catalog:
                 "n_buckets": n_buckets, "touched_buckets": 0,
                 "appended_buckets": 0, "rewritten_fraction": 0.0,
             }
-            return
-        self._commit_buckets(
+            return None
+        return self._commit_buckets(
             name, merged, bucket_col, base=meta, touched=rewrite_b, append_b=append_b,
             mor_b=mor_b, mor_insert_rows=ins_counts, mor_keys=keys if merge_on_read else None,
+            defer_publish=defer_publish,
         )
 
     def _commit_merged(
-        self, name: str, merged: DataFrame, bucket_col: str | None, meta: dict | None, touched
-    ) -> None:
+        self, name: str, merged: DataFrame, bucket_col: str | None, meta: dict | None, touched,
+        defer_publish: bool = False,
+    ):
         if bucket_col is None:
-            self._commit(name, merged)
-        elif touched is None:
+            return self._commit(name, merged, defer_publish=defer_publish)
+        if touched is None:
             # table exists in unbucketed layout → one-time full conversion
-            self._commit_buckets(name, merged, bucket_col, base=None)
-        else:
-            self._commit_buckets(name, merged, bucket_col, base=meta, touched=touched)
+            return self._commit_buckets(name, merged, bucket_col, base=None, defer_publish=defer_publish)
+        return self._commit_buckets(
+            name, merged, bucket_col, base=meta, touched=touched, defer_publish=defer_publish
+        )
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self._tdir(name), ignore_errors=True)

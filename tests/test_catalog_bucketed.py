@@ -425,7 +425,10 @@ def test_incr_identifier_metric_from_pointer(spark, tmp_path):
 def test_delete_insert_merge_on_read_matches_copy_on_write(spark, tmp_path):
     """delete_insert MoR ≡ CoW at every step, including a key with MULTIPLE
     prior rows (DELETE drops them all; the update part's anti-join does the
-    same at read time) and pointer row counts tracking the NET delta."""
+    same at read time). Pointer row counts are exact when the bucket-pruned
+    probe ran, or deliberately LAZY (None) when the delta touched ~every
+    bucket and the commit skipped all target scans (O(delta) commit path) —
+    never a wrong number."""
     cat = Catalog(spark, str(tmp_path / "wh"), n_buckets=4, max_parts_per_bucket=8)
     base = [(f"k{i}", i) for i in range(24)] + [("dup", 100), ("dup", 101)]
     for t in ("mor", "cow"):
@@ -443,10 +446,42 @@ def test_delete_insert_merge_on_read_matches_copy_on_write(spark, tmp_path):
         got_m = sorted((r["k"], r["v"]) for r in cat.read("mor").collect())
         got_c = sorted((r["k"], r["v"]) for r in cat.read("cow").collect())
         assert got_m == got_c
-        assert cat.row_count("mor") == cat.row_count("cow") == len(got_m)
+        assert cat.row_count("cow") == len(got_m)
+        assert cat.row_count("mor") in (None, len(got_m))  # lazy, never wrong
     # the MoR variant never rewrote a non-compaction bucket
     assert cat.last_commit_stats["mor"]["touched_buckets"] == 0
     assert cat.last_commit_stats["mor"].get("upd_buckets", 0) >= 1
+
+
+def test_delete_insert_mor_lazy_counts_restore_at_compaction(spark, tmp_path):
+    """The O(delta) MoR commit path (probe skipped: delta touches ~every
+    bucket) runs ZERO target-table scans, marks buckets ``unrec`` (row_count
+    → None rather than a wrong number), and compaction restores exact footer
+    counts — the reconcile-at-compaction contract."""
+    cat = Catalog(spark, str(tmp_path / "wh"), n_buckets=1, max_parts_per_bucket=3)
+    cat.overwrite("t", _mk(spark, [("a", 0), ("b", 1), ("c", 2)]), bucket_col="k")
+    assert cat.row_count("t") == 3
+
+    # delta touches 1/1 buckets → probe skipped, lazy gross count
+    cat.delete_insert("t", _mk(spark, [("a", 10), ("x", 3)]), keys=["k"], bucket_col="k",
+                      merge_on_read=True)
+    meta = json.load(open(os.path.join(cat._tdir("t"), "_CURRENT")))
+    assert meta.get("unrec") == ["0"]
+    assert cat.row_count("t") is None  # lazy — unknown, not wrong
+    got = {r["k"]: r["v"] for r in cat.read("t").collect()}
+    assert got == {"a": 10, "b": 1, "c": 2, "x": 3}
+
+    # third part trips max_parts_per_bucket → next touch compacts the bucket:
+    # exact count restored, unrec cleared
+    cat.delete_insert("t", _mk(spark, [("b", 20)]), keys=["k"], bucket_col="k",
+                      merge_on_read=True)
+    cat.delete_insert("t", _mk(spark, [("c", 30)]), keys=["k"], bucket_col="k",
+                      merge_on_read=True)
+    meta = json.load(open(os.path.join(cat._tdir("t"), "_CURRENT")))
+    assert not meta.get("unrec") and not meta.get("upd")
+    assert cat.row_count("t") == 4 == cat.read("t").count()
+    got = {r["k"]: r["v"] for r in cat.read("t").collect()}
+    assert got == {"a": 10, "b": 20, "c": 30, "x": 3}
 
 
 def test_update_part_order_is_pointer_authoritative(spark, tmp_path):

@@ -574,27 +574,26 @@ def test_crash_before_membership_commit_recovers(spark, tmp_path):
     write_parquet(pd.DataFrame(rows(batch2)), str(tmp_path / "crash" / "crm.parquet"))
 
     cat = pipe.catalog
-    order: list[str] = []
-    real_di, real_ow = cat.delete_insert, cat.overwrite
+    real_di = cat.delete_insert
     state = {"arm": True}
 
     def di(name, *a, **kw):
-        order.append(name)
+        # the flush runs store WRITES concurrently (two-phase publish);
+        # crash the membership WRITE — its deferred pointer swap then never
+        # runs, while every other store publishes inline in the pool
         if state["arm"] and name == "identity_resolved_membership_current":
             raise RuntimeError("simulated crash before membership commit")
         return real_di(name, *a, **kw)
 
-    def ow(name, *a, **kw):
-        order.append(name)
-        return real_ow(name, *a, **kw)
-
-    cat.delete_insert, cat.overwrite = di, ow
+    cat.delete_insert = di
     with pytest.raises(RuntimeError, match="simulated crash"):
         pipe.run("INCR")
-    # ordering guarantee: every other store committed BEFORE the membership
-    # attempt (clusters + golden published, membership not)
-    assert order[-1] == "identity_resolved_membership_current"
-    assert "identity_clusters_current" in order[:-1]
+    # publish-order guarantee: the membership POINTER only swaps after every
+    # other store published — so this crash window shows clusters/golden
+    # live and membership still at its pre-run state
+    assert any(
+        r["resolved_id"] for r in cat.read("identity_clusters_current").collect()
+    )
     assert not any(
         r["entity_key"] == "crm:C"
         for r in cat.read("identity_resolved_membership_current").collect()
