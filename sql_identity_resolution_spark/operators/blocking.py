@@ -61,12 +61,26 @@ def group_sizes(members: DataFrame, sample_n: int = 5) -> DataFrame:
 
     This agg runs BEFORE the max_group_size guard splits out degenerate blocks
     (that's its job), so it must never materialize a full group in memory:
-    count/min stay in the cheap hash agg; the N-key sample comes from a
-    ``row_number ≤ N`` window — the sort is external (spills), each task
-    streams sorted rows and keeps only N, so a 10⁸-member hot key costs a
-    disk sort, not an executor OOM. Both aggs share the block-key exchange.
-    """
-    return group_stats(members).join(sample_keys_for(members, None, sample_n), BLOCK_KEY, "left")
+    the N-key sample comes from a ``row_number ≤ N`` window — the sort is
+    external (spills), each task streams sorted rows and keeps only N, so a
+    10⁸-member hot key costs a disk sort, not an executor OOM; count/min/
+    sample then come from ONE hash aggregation over the already-partitioned
+    windowed stream (``collect_list`` skips the NULLed rows beyond N, so it
+    holds ≤N elements per key). One pass over members, one exchange total —
+    the previous two-aggregation + join form scanned members twice and
+    planned three exchanges (plans/r06/group_sizes_*.txt)."""
+    w = Window.partitionBy(*BLOCK_KEY).orderBy("entity_key")
+    return (
+        members.withColumn("_rn", F.row_number().over(w))
+        .groupBy(*BLOCK_KEY)
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min("entity_key").alias("anchor_entity_key"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("_rn") <= sample_n, F.col("entity_key")))
+            ).alias("sample_keys"),
+        )
+    )
 
 
 def group_stats(members: DataFrame) -> DataFrame:

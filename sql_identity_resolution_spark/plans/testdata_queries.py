@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sql_identity_resolution_spark.operators import confidence as conf_ops
-from sql_identity_resolution_spark.operators.graph import alternating_star
+from sql_identity_resolution_spark.operators.graph import connected_components
 
 # ---------------------------------------------------------------- shared CTEs
 
@@ -200,10 +200,20 @@ _CC_LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
 def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CC labels (entity_key, label) — memoized per (session, sf_dir).
 
-    The star CC is the flagship computation and several driver queries consume
-    its labels; without the memo the harness pays the full O(log²)-round loop
-    once per consuming query. The cached frame is localCheckpoint'ed (already
-    materialized by the loop), so reuse is an in-memory scan, not a replan."""
+    The CC is the flagship computation and several driver queries consume
+    its labels; without the memo the harness pays the full loop once per
+    consuming query. The cached frame is localCheckpoint'ed (already
+    materialized by the loop), so reuse is an in-memory scan, not a replan.
+
+    Runs the engine's size-adaptive execution (the same gate the pipeline
+    uses, connected_components local_max_edges): the derived identity graph
+    is bounded by construction (group_size ≤ 100 caps edges; at larger SFs
+    the mod groups EXCEED the cap and the graph shrinks toward empty), so
+    when it fits the cap a driver union-find labels it without paying the
+    distributed loop's per-round scheduler floors; above the cap the
+    large/small-star scale path runs exactly as before. Labels are identical
+    either way (resolved_id = MIN entity_key per component — the contract
+    both paths implement and the recursive-CTE oracle checks)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     labels = _CC_LABELS_CACHE.get(key)
     if labels is None:
@@ -211,8 +221,10 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes = _customer(spark, sf_dir).select(
             F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")).alias("entity_key")
         )
-        cc = alternating_star(nodes, edges, max_iters=60)
-        assert cc.converged, f"star CC did not converge in {cc.iterations} rounds"
+        cc = connected_components(
+            nodes, edges, algorithm="star", max_iters=60, local_max_edges=500_000
+        )
+        assert cc.converged, f"CC did not converge in {cc.iterations} rounds"
         labels = cc.labels.localCheckpoint(eager=True)
         _CC_LABELS_CACHE[key] = labels
     return labels
@@ -280,8 +292,17 @@ def q_lp_single_step(spark, sf_dir):
 
 def q_impacted_subgraph(spark, sf_dir):
     """J4+J5+U2: impacted nodes (endpoints of "new" edges) + 1-hop expansion
-    over current edges, then edges with both endpoints inside."""
-    edges = _edges(spark, sf_dir)
+    over current edges, then edges with both endpoints inside.
+
+    The derived edge set is referenced SIX times below (new/current × the
+    node expansion × the final restriction): materialize it once
+    (localCheckpoint, computed inside the timed query) — the declarative
+    form re-expanded the whole anchor-election subtree per reference, a
+    190k-char physical plan with 172 Exchange nodes whose planning/codegen
+    dominated the runtime (plans/r06/impacted_subgraph_before.txt vs after:
+    6 leaf scans of the checkpointed edges, plan ~30x smaller). Same rows —
+    this is the pipeline's own shared-frame idiom."""
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
     new_edges = edges.filter(
         (F.col("identifier_type") == "MOD701")
         & (F.col("identifier_value_norm").cast("int") % 10 == 0)
@@ -310,8 +331,18 @@ def q_impacted_subgraph(spark, sf_dir):
 
 
 def q_survivorship_golden(spark, sf_dir):
-    """W1+W2+J11: rank-1 survivorship — most recent order per mod500 cluster
-    (row_number over recency DESC with deterministic tie-breakers)."""
+    """W1+W2+J11: rank-1 survivorship — most recent order per mod500 cluster.
+
+    Same rows as the row_number(ORDER BY o_orderdate DESC, o_orderkey ASC)=1
+    window form (the oracle SQL), computed as ONE hash aggregation: rank-1
+    under (date DESC, key ASC) ≡ MAX over the struct (o_orderdate,
+    -o_orderkey) — o_orderkey is unique, so the composite is a total order
+    and ties are impossible; payload fields ride behind the sort keys and are
+    never reached by the comparison. The agg is map-side partial (each task
+    emits ≤1 row per cluster), deleting the full-row exchange AND both
+    window sorts the rank form paid (plans/r06/survivorship_golden_*.txt:
+    Sort+Window+WindowGroupLimit ×2 → HashAggregate ×2; exchange shrinks
+    from every joined row to one row per cluster per task)."""
     c = _customer(spark, sf_dir)
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     joined = o.join(c, o.o_custkey == c.c_custkey, "inner").select(
@@ -320,16 +351,21 @@ def q_survivorship_golden(spark, sf_dir):
         "o_orderpriority",
         "o_orderdate",
     )
-    w = Window.partitionBy("resolved_id").orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "resolved_id",
-            F.col("o_orderkey").alias("latest_orderkey"),
-            F.col("o_orderpriority").alias("latest_priority"),
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_orderdate"),
-        )
+    best = joined.groupBy("resolved_id").agg(
+        F.max(
+            F.struct(
+                F.col("o_orderdate").alias("d"),
+                (-F.col("o_orderkey")).alias("nk"),
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderpriority").alias("p"),
+            )
+        ).alias("_m")
+    )
+    return best.select(
+        "resolved_id",
+        F.col("_m.k").alias("latest_orderkey"),
+        F.col("_m.p").alias("latest_priority"),
+        F.date_format("_m.d", "yyyy-MM-dd").alias("latest_orderdate"),
     )
 
 
