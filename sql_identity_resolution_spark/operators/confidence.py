@@ -47,7 +47,9 @@ def cluster_edge_stats(
     )
 
 
-def cluster_confidence(sizes: DataFrame, edge_stats: DataFrame, run_ts) -> DataFrame:
+def cluster_confidence(
+    sizes: DataFrame, edge_stats: DataFrame, run_ts, return_count: bool = False
+):
     """confidence = 0.5·(diversity/max_div) + 0.35·density + 0.15, ROUND 3;
     singletons = 1.0 with reason SINGLETON_NO_MATCH_REQUIRED
     (sql/common/42:29-96). density = edge_count/(n−1) capped at 1 (star
@@ -85,10 +87,13 @@ def cluster_confidence(sizes: DataFrame, edge_stats: DataFrame, run_ts) -> DataF
     from pyspark.sql import Observation
 
     obs = Observation(f"max_div_{uuid4().hex[:8]}")
-    density = density.observe(obs, F.max("edge_diversity").alias("m")).localCheckpoint(eager=True)
+    density = density.observe(
+        obs, F.max("edge_diversity").alias("m"), F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=True)
     md = max(int(obs.get["m"] or 0), 1)
+    n_rows = int(obs.get["n"] or 0)
     cd = density.withColumn("max_div", F.lit(int(md)))
-    return cd.select(
+    out = cd.select(
         "resolved_id",
         "cluster_size",
         "edge_diversity",
@@ -131,3 +136,9 @@ def cluster_confidence(sizes: DataFrame, edge_stats: DataFrame, run_ts) -> DataF
         .alias("primary_reason"),
         F.lit(run_ts).cast("timestamp").alias("updated_ts"),
     )
+    if return_count:
+        # rows map 1:1 onto the checkpointed density frame, so the count
+        # rode its Observation — callers skip a second materialize+count
+        # (the final projection recomputes narrowly over the checkpoint)
+        return out, n_rows
+    return out

@@ -453,20 +453,37 @@ class IDRPipeline:
             # cardinality (at 10M retail rows: ~20M singleton rows skipped;
             # their count remains observable via identifier_quality's
             # approx_distinct vs n_values).
+            # the skipped-group COUNT folds into the sizes checkpoint job via
+            # an Observation over the per-type max_group_size CASE (rules are
+            # driver metadata) — the common all-valid run pays ZERO extra
+            # jobs; the audit frame itself is only built (and sample keys
+            # only sorted) on the rare count>0 path
+            from pyspark.sql import Observation
+
+            max_by_type = F.lit(None).cast("int")
+            for r in cfg.active_rules():
+                max_by_type = F.when(
+                    F.col("identifier_type") == r.identifier_type,
+                    F.lit(int(r.max_group_size or blocking.DEFAULT_MAX_GROUP_SIZE)),
+                ).otherwise(max_by_type)
+            skip_obs = Observation(f"skipped_{uuid.uuid4().hex[:8]}")
             sizes = (
                 blocking.group_stats(members)
                 .filter(F.col("group_size") >= 2)
+                .observe(
+                    skip_obs,
+                    F.sum(
+                        F.when(F.col("group_size") > max_by_type, 1).otherwise(0)
+                    ).alias("n_skipped"),
+                )
                 .localCheckpoint(eager=True)
             )
+            res.groups_skipped = int(skip_obs.get["n_skipped"] or 0)
             valid, skipped = blocking.split_by_group_size(spark, cfg, sizes, run_id)
-            skipped, res.groups_skipped = _ckpt_count(skipped, "skipped")
             if res.groups_skipped:
                 res.warnings.append(
                     f"{res.groups_skipped} identifier groups skipped (exceeded max_group_size)"
                 )
-                # audit samples lazily: only when something was actually
-                # skipped does anyone scan members for sample keys (the
-                # common all-valid run pays one tiny agg, no member sort)
                 skipped_cols = skipped.columns
                 skipped = (
                     skipped.drop("sample_entity_keys")
@@ -475,9 +492,13 @@ class IDRPipeline:
                     .select(*skipped_cols)
                     .localCheckpoint(eager=True)
                 )
-            # checkpointed — the physical append joins the output_write flush
-            # pool instead of paying a serial write job on the hot edge stage
-            self._pending_appends.append((T_SKIPPED, skipped))
+                # the physical append joins the output_write flush pool
+                # instead of paying a serial write job on the hot edge stage
+                self._pending_appends.append((T_SKIPPED, skipped))
+            else:
+                # nothing skipped: append the (empty, schema-bearing) audit
+                # frame from the flush pool — no job here either way
+                self._pending_appends.append((T_SKIPPED, skipped))
 
             edges_exact = blocking.anchor_edges(valid, members, run_ts, salt_buckets=cfg.salt_buckets)
 
@@ -892,8 +913,13 @@ class IDRPipeline:
             # broadcast-sized updates.
             csizes = membership.cluster_sizes(updates, None, run_ts)
             estats = confidence.cluster_edge_stats(updates, edges_current, None)
-            conf, res.clusters_impacted = _ckpt_count(
-                confidence.cluster_confidence(csizes, estats, run_ts), "confidence"
+            # cluster_confidence checkpoints its density frame internally
+            # (max_div Observation); return_count rides the SAME job — the
+            # second materialize+count this stage used to pay is gone, and
+            # every consumer (golden dimension, clusters flush) runs the
+            # narrow final projection over that checkpoint
+            conf, res.clusters_impacted = confidence.cluster_confidence(
+                csizes, estats, run_ts, return_count=True
             )
             if not dry_run:
                 # conf is checkpointed — both modes defer the commit to the
