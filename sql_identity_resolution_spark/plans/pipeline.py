@@ -75,6 +75,16 @@ _RUN_STATE_SCHEMA = (
 )
 
 
+def _dense_default_for_master(master: str) -> bool:
+    """Regime-adaptive dense-scoring default: dense long-id scoring won the
+    A/B only under real multi-JVM masters (serialized shuffle blocks);
+    thread-local masters — ``local``, ``local[N]``, ``local[*]``,
+    ``local[N,maxFailures]`` — share one heap and favor the classic path.
+    ``local-cluster[...]``/yarn/k8s/standalone count as multi-JVM."""
+    m = master or ""
+    return not (m == "local" or m.startswith("local["))
+
+
 def _ckpt_count(df: DataFrame, name: str) -> tuple[DataFrame, int]:
     """Eager localCheckpoint with the row count folded into the SAME job via
     an Observation — every materialize-then-count pair in the run would
@@ -546,11 +556,7 @@ class IDRPipeline:
                 # there), classic on thread-local masters (shared heap)
                 score_dense = cfg.score_dense
                 if score_dense is None:
-                    m = spark.sparkContext.master or ""
-                    # thread-local masters: "local", "local[N]", "local[*]",
-                    # "local[N,maxFailures]" — anything else (local-cluster,
-                    # yarn, k8s, standalone) is multi-JVM and prefers dense
-                    score_dense = not (m == "local" or m.startswith("local["))
+                    score_dense = _dense_default_for_master(spark.sparkContext.master)
                 use_dense = score_dense and not cfg.score_grouped and set(scorer_names) <= {"token_jaccard"}
                 dup_scored = None
                 # INCR: only delta-impacted block members ever get scored, so

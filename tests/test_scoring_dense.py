@@ -146,3 +146,15 @@ def test_duplicate_entity_text_rows_collapse(spark):
     assert n_classic == 3  # one row per unique pair, not per duplicate text row
     # grouped omits NULL-token pairs (2 of 3 here involve the NULL-text anchor)
     assert n_grouped == 1
+
+
+def test_dense_default_master_gate():
+    """VERDICT r5 #5: a bare `local` master (no brackets) is thread-local and
+    must NOT pick the dense path; multi-JVM masters must."""
+    from sql_identity_resolution_spark.plans.pipeline import _dense_default_for_master
+
+    for m in ("local", "local[4]", "local[*]", "local[4,2]"):
+        assert _dense_default_for_master(m) is False, m
+    for m in ("local-cluster[2,4,8192]", "yarn", "k8s://https://host", "spark://host:7077"):
+        assert _dense_default_for_master(m) is True, m
+    assert _dense_default_for_master("") is True  # unset master: cluster-side default
