@@ -198,8 +198,10 @@ class EngineConfig:
     # time, but each in-flight job holds executor memory for its shuffle/agg;
     # on heap-constrained single-JVM deployments (local mode shares one heap
     # across all executor threads) lower this before lowering heap headroom —
-    # the flush degrades gracefully to serial at 1.
-    flush_max_workers: int = 6
+    # the flush degrades gracefully to serial at 1. 8 covers the seven store
+    # sinks + observability appends now that membership's write joins the
+    # pool (two-phase publish) instead of running after it.
+    flush_max_workers: int = 8
     # SCORED blocks up to this size score ALL pairs (full within-block recall);
     # larger blocks fall back to anchor-star — see blocking.candidate_pairs
     scored_all_pairs_max: int = 64

@@ -534,11 +534,20 @@ def _local_union_find(nodes: DataFrame, edges: DataFrame, max_edges: int) -> CCR
     cap still holds because the subgraph tracks the delta, not the corpus.
     The collects are limit-guarded so an unexpectedly large subgraph
     (mass-merge delta) costs one truncated scan, never an OOM."""
-    e = edges.select("left_entity_key", "right_entity_key").limit(max_edges + 1).toPandas()
+    node_cap = 2 * max_edges + 10_000  # isolated singletons beyond endpoints
+    # the two limit-guarded collects are independent jobs — overlap them from
+    # a 2-thread pool so the node scan back-fills the edge job's tail (guide
+    # §2.6); each is Arrow-batched and bounded as before
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_e = ex.submit(
+            lambda: edges.select("left_entity_key", "right_entity_key").limit(max_edges + 1).toPandas()
+        )
+        f_n = ex.submit(lambda: nodes.select("entity_key").limit(node_cap + 1).toPandas())
+        e, n = f_e.result(), f_n.result()
     if len(e) > max_edges:
         return None
-    node_cap = 2 * max_edges + 10_000  # isolated singletons beyond endpoints
-    n = nodes.select("entity_key").limit(node_cap + 1).toPandas()
     if len(n) > node_cap:
         return None
     parent: dict[str, str] = {}
