@@ -287,6 +287,16 @@ class EngineConfig:
     # semantics would not have formed, and the fast form would silently drop
     # edges whose right endpoint is impacted but left is not.
     incr_safe_edge_restriction: bool = False
+    # INCR: materialize the post-merge edge store once (lazy localCheckpoint)
+    # when its pointer row count is at or below this — the subgraph build and
+    # the confidence edge-stats both scan edges_current after the merge, and
+    # each scan re-pays the parquet read plus the merge-on-read
+    # reconciliation anti-join. One materialization serves all consumers;
+    # blocks are freed when the frame goes unreferenced. 0 disables. The cap
+    # exists because at true corpus scale (10^9+ edge rows) pinning the store
+    # in the block manager is worse than the extra columnar scans — size it
+    # to executor storage memory on a cluster.
+    incr_edge_materialize_max_rows: int = 50_000_000
     # catalog bucket layout: default modulus for new bucketed tables + optional
     # per-table overrides (big fact tables want many buckets so a small delta's
     # MERGE rewrites a small table fraction; see sources/catalog.py sizing note)

@@ -781,6 +781,18 @@ class IDRPipeline:
                     bucket_col="left_entity_key", merge_on_read=cfg.edge_merge_on_read,
                 )
                 edges_current = cat.read(T_EDGES)
+                # LP's subgraph and confidence's edge stats both scan the
+                # post-merge store; each scan re-pays the read AND the MoR
+                # reconciliation anti-join. Under the size gate, a lazy
+                # localCheckpoint materializes it once on first use and every
+                # later consumer reads blocks (freed when unreferenced).
+                n_store = cat.row_count(T_EDGES)
+                if (
+                    cfg.incr_edge_materialize_max_rows > 0
+                    and n_store is not None
+                    and n_store <= cfg.incr_edge_materialize_max_rows
+                ):
+                    edges_current = edges_current.localCheckpoint(eager=False)
                 s.rows(res.edges_created)
 
         # -------- subgraph + connected components (stages 30/31)

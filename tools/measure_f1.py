@@ -1,8 +1,12 @@
 """Measure and print the BASELINE gate numbers: pairwise precision/recall/F1
 of the full pipeline against generator ground truth, on a fresh fixture.
 
-Usage: python tools/measure_f1.py [n_conversations] [seed]
+Usage: python tools/measure_f1.py [n_conversations] [seed] [--fuzzy-only]
 Prints one JSON line; exits non-zero if F1 < 0.99.
+
+``--fuzzy-only`` (VERDICT r5 #7): deactivates every EXACT rule so LSH
+blocking + threshold scoring is the ONLY path to an edge — the number then
+measures blocking recall and the scorer threshold, not exact-key lookup.
 """
 
 from __future__ import annotations
@@ -16,8 +20,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
-    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
+    fuzzy_only = "--fuzzy-only" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if args else 5000
+    seed = int(args[1]) if len(args) > 1 else 42
 
     from pyspark.sql import functions as F
 
@@ -46,6 +52,10 @@ def main() -> None:
         truth = spark.read.parquet(truth_path)
 
         source, rules, mappings = transcripts_source("chat", turns_path)
+        if fuzzy_only:
+            for r in rules:
+                if r.match_strategy != "SCORED":
+                    r.is_active = False
         cfg = EngineConfig(
             warehouse=os.path.join(tmp, "wh"), sources=[source], rules=rules, mappings=mappings
         )
