@@ -260,6 +260,7 @@ class IDRPipeline:
         dry_run: bool,
         full_df_fn,
         delta_is_full: bool = False,
+        approx_rows: int | None = None,
     ) -> DataFrame:
         """Delta-maintained per-entity store. When the delta IS the full set
         (FULL mode, or INCR with no prior watermark) the store is overwritten
@@ -274,14 +275,18 @@ class IDRPipeline:
         if mode == "FULL" or delta_is_full or not cat.exists(name):
             full_df = delta_df if (mode == "FULL" or delta_is_full) else full_df_fn()
             if not dry_run:
-                self._pending_stores.append((name, "overwrite", full_df, keys, bucket_col))
+                self._pending_stores.append(
+                    (name, "overwrite", full_df, keys, bucket_col, approx_rows)
+                )
             return full_df
         prior = cat.read(name)
         view = prior.join(delta_df.select(*keys).distinct(), keys, "left_anti").unionByName(
             delta_df.select(*prior.columns)
         )
         if not dry_run:
-            self._pending_stores.append((name, "delete_insert", delta_df, keys, bucket_col))
+            self._pending_stores.append(
+                (name, "delete_insert", delta_df, keys, bucket_col, approx_rows)
+            )
         return view
 
     # ------------------------------------------------------------------- run
@@ -412,6 +417,7 @@ class IDRPipeline:
                 mode=mode,
                 dry_run=dry_run,
                 delta_is_full=delta_is_full,
+                approx_rows=n_delta_ids,
                 full_df_fn=lambda: extract.apply_exclusions(
                     spark,
                     extract.extract_identifiers(spark, cfg, "FULL", {}, extract.load_sources(spark, cfg)),
@@ -529,6 +535,7 @@ class IDRPipeline:
                     mode=mode,
                     dry_run=dry_run,
                     delta_is_full=delta_is_full,
+                    approx_rows=res.entities_processed,
                     full_df_fn=lambda: self._entity_texts(extract.load_sources(spark, cfg)),
                 )
                 scored_rules = [r for r in cfg.active_rules() if r.match_strategy == "SCORED"]
@@ -738,7 +745,7 @@ class IDRPipeline:
             # Resume-safe: run_state advances only after the flush, so an
             # interrupted run re-derives the same edges idempotently.
             self._pending_stores.append(
-                (T_EDGES, "overwrite", edges_new, edge_keys, "left_entity_key")
+                (T_EDGES, "overwrite", edges_new, edge_keys, "left_entity_key", res.edges_created)
             )
             edges_current = edges_new
         if mode == "INCR":
@@ -909,7 +916,8 @@ class IDRPipeline:
                     # critical path (cluster sizes/confidence/golden all read
                     # membership 2-3×)
                     self._pending_stores.append(
-                        (T_MEMBERSHIP, "overwrite", updates, ["entity_key"], "entity_key")
+                        (T_MEMBERSHIP, "overwrite", updates, ["entity_key"], "entity_key",
+                         res.entities_processed)
                     )
                 else:
                     # INCR: defer to the concurrent flush too — every
@@ -917,7 +925,8 @@ class IDRPipeline:
                     # (see below), so nothing waits on the store commit
                     # (full-row upsert on the key ≡ delete+insert by key)
                     self._pending_stores.append(
-                        (T_MEMBERSHIP, "delete_insert", updates, ["entity_key"], "entity_key")
+                        (T_MEMBERSHIP, "delete_insert", updates, ["entity_key"], "entity_key",
+                         n_labels)
                     )
             # The checkpointed updates frame IS the impacted-cluster
             # membership in EVERY mode: FULL relabels everyone, and INCR's
@@ -944,7 +953,7 @@ class IDRPipeline:
                 # concurrent flush (INCR: delete+insert of impacted clusters)
                 op = "overwrite" if mode == "FULL" else "delete_insert"
                 self._pending_stores.append(
-                    (T_CLUSTERS, op, conf, ["resolved_id"], "resolved_id")
+                    (T_CLUSTERS, op, conf, ["resolved_id"], "resolved_id", res.clusters_impacted)
                 )
             s.rows(res.clusters_impacted)
 
@@ -962,6 +971,7 @@ class IDRPipeline:
                     mode=mode,
                     dry_run=dry_run,
                     delta_is_full=delta_is_full,
+                    approx_rows=res.entities_processed * max(1, len(cfg.attributes)),
                     full_df_fn=lambda: golden.build_entities_all(
                         spark, cfg, extract.load_sources(spark, cfg)
                     ),
@@ -976,7 +986,7 @@ class IDRPipeline:
                 if not dry_run:
                     op = "overwrite" if mode == "FULL" else "delete_insert"
                     self._pending_stores.append(
-                        (T_GOLDEN, op, gold, ["resolved_id"], "resolved_id")
+                        (T_GOLDEN, op, gold, ["resolved_id"], "resolved_id", n_gold)
                     )
                 s.rows(n_gold)
 
@@ -1089,14 +1099,18 @@ class IDRPipeline:
                     _, st_name, st_df = entry
                     cat.append(st_name, st_df)
                 else:
-                    _, st_name, st_op, st_df, st_keys, st_bucket = entry
+                    _, st_name, st_op, st_df, st_keys, st_bucket, st_rows = entry
                     defer = st_name == T_MEMBERSHIP
                     if st_op == "overwrite":
-                        pub = cat.overwrite(st_name, st_df, bucket_col=st_bucket, defer_publish=defer)
+                        pub = cat.overwrite(
+                            st_name, st_df, bucket_col=st_bucket, defer_publish=defer,
+                            approx_rows=st_rows,
+                        )
                     else:
                         pub = cat.delete_insert(
                             st_name, st_df, keys=st_keys, bucket_col=st_bucket,
                             merge_on_read=cfg.store_merge_on_read, defer_publish=defer,
+                            approx_rows=st_rows,
                         )
                     if pub is not None:
                         deferred_publish.append(pub)

@@ -395,6 +395,7 @@ class Catalog:
         mor_insert_rows: dict[str, int] | None = None,
         mor_keys: list[str] | None = None,
         defer_publish: bool = False,
+        approx_rows: int | None = None,
     ):
         """Write ``df`` partitioned by bucket into ONE new version dir.
         ``df`` carries the FULL post-merge content of every bucket in
@@ -433,6 +434,15 @@ class Catalog:
         # its own buckets (n/k writers per task, k chosen so that stays ≤~4).
         k = (len(touched) if touched is not None else n_buckets) + len(append_b or ()) + len(mor_b or ())
         k = max(1, min(n_buckets, k, 4 * max(8, self.spark.sparkContext.defaultParallelism)))
+        if approx_rows is not None:
+            # caller-supplied size hint (the pipeline already holds exact
+            # counts from its checkpoint Observations): a small frame doesn't
+            # need one task per bucket — cap the writer task count at ~200k
+            # rows/task (floor 8 so a many-bucket write never serializes on
+            # one writer opening every bucket file). Hash-aligned repartition
+            # keeps each task writing only its own buckets either way; file
+            # count (one per bucket) is unchanged.
+            k = min(k, max(8, int(approx_rows) // 200_000 + 1))
         (
             df.withColumn("_bucket", self._bucket_expr(bucket_col, n_buckets))
             .repartition(k, "_bucket")
@@ -529,10 +539,13 @@ class Catalog:
 
     def overwrite(
         self, name: str, df: DataFrame, bucket_col: str | None = None,
-        defer_publish: bool = False,
+        defer_publish: bool = False, approx_rows: int | None = None,
     ):
         if bucket_col is not None:
-            return self._commit_buckets(name, df, bucket_col, base=None, defer_publish=defer_publish)
+            return self._commit_buckets(
+                name, df, bucket_col, base=None, defer_publish=defer_publish,
+                approx_rows=approx_rows,
+            )
         return self._commit(name, df, defer_publish=defer_publish)
 
     def append(self, name: str, df: DataFrame) -> None:
@@ -957,6 +970,7 @@ class Catalog:
         bucket_col: str | None = None,
         merge_on_read: bool = False,
         defer_publish: bool = False,
+        approx_rows: int | None = None,
     ):
         """DELETE-matching-then-INSERT (reference clusters sink,
         sql/duckdb/core/idr_run.py:544-552). ``bucket_col``: see merge_upsert.
@@ -1052,7 +1066,7 @@ class Catalog:
         return self._commit_buckets(
             name, merged, bucket_col, base=meta, touched=rewrite_b, append_b=append_b,
             mor_b=mor_b, mor_insert_rows=ins_counts, mor_keys=keys if merge_on_read else None,
-            defer_publish=defer_publish,
+            defer_publish=defer_publish, approx_rows=approx_rows,
         )
 
     def _commit_merged(
