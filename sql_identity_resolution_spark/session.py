@@ -10,8 +10,37 @@ timezone so results hash-compare against DuckDB oracles).
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import SparkSession
+
+# applications whose python-worker pool was already warmed (getOrCreate can
+# hand the same SparkContext to many build_session callers — warm once)
+_WARMED_APPS: set[str] = set()
+
+
+def _passthrough_batches(it):
+    for pdf in it:
+        yield pdf
+
+
+def _warm_python_workers(spark: SparkSession, n_workers: int) -> None:
+    """Fork + import-warm the python worker pool with one tiny mapInPandas
+    job (one 1-row task per core). The first pandas-UDF action otherwise pays
+    daemon launch + n_cores worker forks + per-worker Arrow/serializer setup
+    inside whatever query happens to run it (~2.5 s wall at local[32] quiet,
+    up to ~10 s under CPU contention — measured round 6). Runs from a daemon
+    thread at session build so it overlaps driver-side setup instead of a
+    measured query; job-group tagging is thread-local, so pipeline stage
+    attribution is unaffected."""
+    try:
+        spark.sparkContext.setJobDescription("python-worker warmup")
+        df = spark.range(0, n_workers, 1, n_workers)
+        df.mapInPandas(_passthrough_batches, "id long").write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:
+        pass  # session stopped mid-warmup or noop source unavailable
 
 
 def build_session(
@@ -64,6 +93,17 @@ def build_session(
         .config("spark.io.compression.codec", "zstd")
         .config("spark.io.compression.zstd.level", "1")
     )
+    # local masters: fork python workers from a daemon that already imported
+    # numpy/pandas/pyarrow (COW-shared) — the first pandas-UDF action otherwise
+    # pays ~4.3 CPU-seconds of imports in EACH of the n_cores workers it
+    # spawns (measured: first-action wall 4.3 -> 2.5 s at local[32]). Scoped
+    # to local* masters because the daemon module must be importable at
+    # executor-python startup (PYTHONPATH above guarantees that here; on a
+    # cluster, ship the package and opt in via spark.python.daemon.module).
+    if master.startswith("local") and os.environ.get("SPARK_GRAFT_DAEMON_PRELOAD", "1") != "0":
+        builder = builder.config(
+            "spark.python.daemon.module", "sql_identity_resolution_spark.daemon_preload"
+        )
     # ad-hoc conf injection for experiments/deployments without code changes:
     # SPARK_GRAFT_EXTRA_CONF="spark.foo=1;spark.bar=2"
     env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
@@ -76,4 +116,12 @@ def build_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if master.startswith("local") and os.environ.get("SPARK_GRAFT_WORKER_WARMUP", "1") != "0":
+        app_id = spark.sparkContext.applicationId
+        if app_id not in _WARMED_APPS:
+            _WARMED_APPS.add(app_id)
+            n = spark.sparkContext.defaultParallelism or (os.cpu_count() or 8)
+            threading.Thread(
+                target=_warm_python_workers, args=(spark, n), daemon=True
+            ).start()
     return spark
