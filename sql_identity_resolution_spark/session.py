@@ -79,6 +79,17 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's 1m minPartitionSize floor collapses any sub-1MB shuffle to ONE
+        # task regardless of cores — which serializes small-byte CPU-HEAVY
+        # stages (measured: the 4k-convs signature build ran its 2.8 s of
+        # vectorized-minhash python in a single task; entity_extraction
+        # 2.9 -> 0.9 s and edge_building 4.6 -> 3.3 s at 64k, paired A/B).
+        # Scale-invariant: at corpus scale per-partition bytes dwarf this
+        # floor, so large-shuffle plans are untouched.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
