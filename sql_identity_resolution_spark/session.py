@@ -90,6 +90,17 @@ def build_session(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
             os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
         )
+        # reading a bucketed store passes one path per bucket; above this
+        # path count Spark runs a DISTRIBUTED file-listing job — one task per
+        # path, ~0 compute, ~0.5 s of pure task scheduling per 256-bucket
+        # read (measured; several reads per INCR run). Driver-side listing of
+        # direct-filesystem paths is microseconds, so lift the threshold;
+        # object-store deployments with wider tables can lower it back via
+        # env (distributed listing pays off when a LIST call is a slow RPC).
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get("SPARK_GRAFT_LIST_THRESHOLD", "4096"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
