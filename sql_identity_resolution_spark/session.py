@@ -126,6 +126,15 @@ def build_session(
         builder = builder.config(
             "spark.python.daemon.module", "sql_identity_resolution_spark.daemon_preload"
         )
+    # local masters: skip Hadoop's ChecksumFileSystem for file:// — it writes
+    # (and verifies) a .crc sidecar per file, which doubles filesystem ops on
+    # bucketed stores (one parquet file per bucket; measured 15-25% off a
+    # 256-bucket commit). Matches object-store deployments, where the
+    # warehouse scheme has no client-side checksum layer either.
+    if master.startswith("local") and os.environ.get("SPARK_GRAFT_RAW_LOCAL_FS", "1") != "0":
+        builder = builder.config(
+            "spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem"
+        )
     # ad-hoc conf injection for experiments/deployments without code changes:
     # SPARK_GRAFT_EXTRA_CONF="spark.foo=1;spark.bar=2"
     env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
