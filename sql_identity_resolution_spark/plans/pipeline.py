@@ -22,6 +22,7 @@ the view ``edges_current ∪ edges_new`` — "no production writes" made literal
 from __future__ import annotations
 
 import json
+import os
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -151,9 +152,20 @@ class IDRPipeline:
             n_buckets=cfg.catalog_buckets,
             table_buckets=cfg.catalog_table_buckets or {},
         )
+        # fail-fast warm pass: analyze every source plan + config expression
+        # now (pure Catalyst analysis, zero Spark jobs) so construction
+        # surfaces schema typos early and the first run()'s preflight is
+        # Catalyst-warm (cold-JVM preflight measured 2.6-3.6 s, warm 0.2 s).
+        # Errors are swallowed — run() re-validates and raises the same
+        # named ValueError, keeping the documented error surface there.
+        if os.environ.get("SPARK_GRAFT_PREFLIGHT_WARM", "1") != "0":
+            try:
+                self.preflight(check_data=True, _warm=True)
+            except Exception:
+                pass
 
     # ------------------------------------------------------------- preflight
-    def preflight(self, check_data: bool = True) -> list[str]:
+    def preflight(self, check_data: bool = True, _warm: bool = False) -> list[str]:
         """Config + data validation before any pipeline stage runs
         (≙ idr_run.py:126-171 / IDR_ValidateMetadata.py): every mapping needs
         an active rule; every active source must LOAD, carry its watermark
@@ -208,8 +220,10 @@ class IDRPipeline:
                     _resolve(df, a.attribute_expr, f"attribute {a.attribute_name}")
             # emptiness warning only for plain tables (a limit-1 parquet scan);
             # derived readers (e.g. transcript signatures) would pay their full
-            # aggregation for a limit-1 — not worth it in preflight
-            if st.path is not None and df.isEmpty():
+            # aggregation for a limit-1 — not worth it in preflight. The
+            # constructor's warm pass (_warm) skips it too: analysis only,
+            # zero Spark jobs.
+            if st.path is not None and not _warm and df.isEmpty():
                 warnings.append(f"source {st.table_id} is empty")
         return warnings
 
