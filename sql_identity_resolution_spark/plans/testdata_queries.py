@@ -255,9 +255,12 @@ def q_cluster_confidence(spark, sf_dir):
     a union of two equi-joins — uses the engine's own confidence operators."""
     membership = _membership(spark, sf_dir)
     edges = _edges(spark, sf_dir).withColumn("first_seen_ts", F.lit(None).cast("timestamp"))
-    impacted = membership.select("resolved_id").distinct()
     sizes = membership.groupBy("resolved_id").agg(F.count(F.lit(1)).alias("cluster_size"))
-    estats = conf_ops.cluster_edge_stats(membership, edges, impacted)
+    # impacted = ALL resolved_ids here (membership is the full CC labeling),
+    # so the restriction semi-join is the identity — pass None and skip its
+    # distinct + shuffle + join, exactly like the pipeline's FULL mode
+    # (operators/membership.cluster_sizes rationale). Oracle-identical rows.
+    estats = conf_ops.cluster_edge_stats(membership, edges, None)
     out = conf_ops.cluster_confidence(sizes, estats, "2026-01-01 00:00:00")
     return out.select(
         "resolved_id",
